@@ -1,0 +1,81 @@
+"""Per-frame inference + PNG mask emission.
+
+Reference behavior (train_online.py:~135-180): iterate the sequence's
+frames, forward, take the fused output, sigmoid (done on host in numpy
+there), scale to 255 and save one grayscale PNG per frame — the *continuous*
+probability map, not a thresholded mask (DAVIS binarizes when evaluating).
+
+TPU-native: frames are processed in fixed-size batches (static shapes, one
+compile), sigmoid fused on device, uint8 conversion on device, and only the
+(N, H, W) uint8 masks cross back to the host. bf16 trunk when the model is
+in 'fast' mode.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, List, Optional, Sequence
+
+import cv2
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from osvos_tpu.configs import ModelConfig
+from osvos_tpu.models.vgg_osvos import OSVOS
+
+
+def make_infer_fn(model_config: ModelConfig) -> Callable:
+    """jit'd ``(params, images(N,H,W,3)) -> probs_u8 (N,H,W) uint8``."""
+    model = OSVOS(model_config)
+
+    @jax.jit
+    def infer(params, images):
+        logits = model.apply({"params": params}, images)[-1]
+        probs = jax.nn.sigmoid(logits[..., 0])
+        return jnp.round(255.0 * probs).astype(jnp.uint8)
+
+    return infer
+
+
+def infer_sequence(
+    params,
+    frames: Sequence[np.ndarray],
+    model_config: ModelConfig = ModelConfig(),
+    batch_size: int = 4,
+    infer_fn: Optional[Callable] = None,
+) -> List[np.ndarray]:
+    """Run the model over preprocessed frames; returns uint8 (H, W) maps.
+
+    Pads the trailing batch to ``batch_size`` so a single compiled program
+    serves any sequence length.
+    """
+    infer = infer_fn or make_infer_fn(model_config)
+    out: List[np.ndarray] = []
+    n = len(frames)
+    for start in range(0, n, batch_size):
+        chunk = list(frames[start:start + batch_size])
+        pad = batch_size - len(chunk)
+        if pad:
+            chunk += [chunk[-1]] * pad
+        masks = np.asarray(infer(params, jnp.asarray(np.stack(chunk))))
+        out.extend(masks[: batch_size - pad])
+    return out
+
+
+def save_mask_png(mask_u8: np.ndarray, path: str) -> None:
+    """Write the continuous probability map as grayscale PNG (reference
+    saves sigmoid*255, train_online.py:~175)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    ok = cv2.imwrite(path, np.asarray(mask_u8, np.uint8))
+    assert ok, path
+
+
+def save_sequence_results(masks: Sequence[np.ndarray], fnames: Sequence[str],
+                          results_dir: str, seq_name: str) -> None:
+    """Reference layout: <save_root>/Results/<seq>/<frame>.png."""
+    for mask, fname in zip(masks, fnames):
+        stem = os.path.splitext(os.path.basename(fname))[0]
+        save_mask_png(mask, os.path.join(results_dir, seq_name,
+                                         f"{stem}.png"))

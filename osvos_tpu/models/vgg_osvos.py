@@ -1,0 +1,117 @@
+"""The OSVOS network, TPU-first.
+
+Functionally equivalent to the reference model (networks/vgg_osvos.py:~15
+``OSVOS``/``make_layers_osvos``): a VGG-16 convolutional trunk in five
+stages with ceil-mode 2x2 max pooling between them, and for each of stages
+2-5 a 3x3 "side_prep" conv to 16 channels, a 1x1 "score_dsn" conv to one
+logit channel, fixed bilinear upsampling of both back to input resolution
+(transposed-conv semantics, see ops/upsample.py), a center crop to the input
+size, and a final 1x1 "fuse" conv over the concatenated 64-channel side
+features. ``__call__`` returns ``[side1..side4, fuse]`` logit maps exactly
+like the reference's ``forward`` (vgg_osvos.py:~60).
+
+TPU-native choices (not a translation):
+- NHWC layout throughout; channels map onto the 128-wide lane dimension.
+- Params live in float32; ``compute_mode='fast'`` casts activations and
+  weights to bfloat16 so convs hit the MXU at full rate, while the four
+  score_dsn / fuse logit convs accumulate in float32.
+- The frozen bilinear upsamplers are constants folded into the program, not
+  parameters (the reference trains them at lr=0 forever, so there is no
+  observable difference; surgery.load_torch_state_dict asserts any imported
+  checkpoint agrees with the bilinear kernel).
+- No Python-level dynamism: every shape is static under jit; pooling pads
+  are computed from static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import lax
+
+from osvos_tpu.configs import ModelConfig
+from osvos_tpu.ops.crop import center_crop
+from osvos_tpu.ops.pool import max_pool_ceil
+from osvos_tpu.ops.upsample import bilinear_upsample
+
+
+class OSVOS(nn.Module):
+    """VGG-16 FCN with deeply-supervised side outputs and a fusion head."""
+
+    config: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+
+    def _precision(self):
+        return (lax.Precision.HIGHEST if self.config.compute_mode == "parity"
+                else lax.Precision.DEFAULT)
+
+    def _compute_dtype(self):
+        return (jnp.float32 if self.config.compute_mode == "parity"
+                else jnp.bfloat16)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        """x: (N, H, W, 3) preprocessed frames (BGR minus caffe mean).
+
+        Returns five (N, H, W, 1) float32 logit maps: four side outputs and
+        the fused output, in the reference's order (side1..side4, fuse).
+        """
+        cfg = self.config
+        dtype = self._compute_dtype()
+        prec = self._precision()
+        crop_h, crop_w = x.shape[1], x.shape[2]
+        x = x.astype(dtype)
+
+        conv = lambda feats, k, name: nn.Conv(  # noqa: E731
+            feats, (k, k), padding=((k // 2, k // 2), (k // 2, k // 2)),
+            dtype=dtype, param_dtype=jnp.float32, precision=prec, name=name)
+
+        # Stage 1 (no pooling before it).
+        for j, width in enumerate(cfg.stages[0]):
+            x = nn.relu(conv(width, 3, f"stage1_conv{j}")(x))
+
+        side_feats: List[jnp.ndarray] = []
+        side_logits: List[jnp.ndarray] = []
+        for i, widths in enumerate(cfg.stages[1:], start=1):
+            x = max_pool_ceil(x)
+            for j, width in enumerate(widths):
+                x = nn.relu(conv(width, 3, f"stage{i + 1}_conv{j}")(x))
+            factor = 2 ** i
+            side_temp = conv(cfg.side_channels, 3, f"side_prep{i}")(x)
+            # 16-ch full-res feature for fusion
+            feat = center_crop(
+                bilinear_upsample(side_temp, factor, precision=prec),
+                crop_h, crop_w)
+            side_feats.append(feat)
+            # 1-ch logit side output (score_dsn accumulates in f32)
+            score = nn.Conv(1, (1, 1), dtype=jnp.float32,
+                            param_dtype=jnp.float32,
+                            precision=lax.Precision.HIGHEST
+                            if cfg.compute_mode == "parity" else prec,
+                            name=f"score_dsn{i}")(side_temp.astype(jnp.float32))
+            side_logits.append(center_crop(
+                bilinear_upsample(score, factor,
+                                  precision=lax.Precision.HIGHEST), crop_h, crop_w))
+
+        fused_in = jnp.concatenate(side_feats, axis=-1).astype(jnp.float32)
+        out = nn.Conv(1, (1, 1), dtype=jnp.float32, param_dtype=jnp.float32,
+                      precision=lax.Precision.HIGHEST
+                      if cfg.compute_mode == "parity" else prec,
+                      name="fuse")(fused_in)
+        return [o.astype(jnp.float32) for o in side_logits] + [out]
+
+
+def stage_conv_names(stages: Sequence[Sequence[int]] = ModelConfig().stages
+                     ) -> List[Tuple[str, int, int]]:
+    """(param_name, in_ch, out_ch) for the trunk convs in forward order —
+    the index-matched walk used when porting torchvision VGG-16 features
+    (vgg_osvos.py:~95)."""
+    names = []
+    in_ch = 3
+    for i, widths in enumerate(stages):
+        for j, width in enumerate(widths):
+            names.append((f"stage{i + 1}_conv{j}", in_ch, width))
+            in_ch = width
+    return names

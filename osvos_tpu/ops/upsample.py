@@ -1,0 +1,66 @@
+"""Fixed bilinear upsampling as transposed convolution.
+
+The reference upsamples side outputs with ``ConvTranspose2d(C, C, k=2^(i+1),
+stride=2^i, bias=False)`` whose weights are set once to a bilinear
+interpolation kernel on the channel diagonal and frozen at lr=0 forever
+(layers/osvos_layers.py:~75 ``upsample_filt`` + ~90 ``interp_surgery``;
+train_parent.py:~75 lr=0 groups). TPU-native stance: since the weights are
+constant, we bake the kernel in as a literal and express the op as a
+*depthwise* input-dilated convolution — identical numerics (verified vs the
+torch oracle in tests/test_ops.py), a fraction of the FLOPs of the dense
+transposed conv (C^2 k^2 -> C k^2), and no wasted dW computation in the
+backward pass.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+
+def bilinear_filter(size: int) -> np.ndarray:
+    """The (size, size) bilinear interpolation kernel.
+
+    Same construction as the reference's ``upsample_filt``
+    (layers/osvos_layers.py:~75): a separable tent centered at
+    ``factor - 1`` (odd size) or ``factor - 0.5`` (even size).
+    """
+    factor = (size + 1) // 2
+    center = factor - 1.0 if size % 2 == 1 else factor - 0.5
+    og = np.ogrid[:size, :size]
+    filt = (1 - abs(og[0] - center) / factor) * (1 - abs(og[1] - center) / factor)
+    return filt.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _depthwise_kernel(size: int, channels: int) -> np.ndarray:
+    """HWIO depthwise kernel (size, size, 1, C); the filter is symmetric so
+    the conv-transpose spatial flip is a no-op, but we flip anyway to keep the
+    general conv_transpose == dilated-conv-of-flipped-kernel identity."""
+    filt = bilinear_filter(size)[::-1, ::-1]
+    return np.broadcast_to(filt[:, :, None, None], (size, size, 1, channels)).copy()
+
+
+def bilinear_upsample(x: jnp.ndarray, factor: int,
+                      precision=lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Upsample NHWC ``x`` by ``factor`` exactly as the reference's frozen
+    ``ConvTranspose2d(C, C, 2*factor, stride=factor)`` with diagonal bilinear
+    weights. Output spatial size: (dim - 1) * factor + 2 * factor."""
+    if factor == 1:
+        return x
+    k = 2 * factor
+    c = x.shape[-1]
+    kernel = jnp.asarray(_depthwise_kernel(k, c), dtype=x.dtype)
+    return lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1, 1),
+        padding=((k - 1, k - 1), (k - 1, k - 1)),
+        lhs_dilation=(factor, factor),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        precision=precision,
+    )

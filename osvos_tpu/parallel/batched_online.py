@@ -1,0 +1,140 @@
+"""Batched online adaptation: all val sequences fine-tune concurrently.
+
+The reference adapts the 20 DAVIS-2016 val sequences *serially* — one
+``train_online.py`` run per sequence (SURVEY.md §2 parallelism table). The
+TPU-native replacement vmaps the entire jit'd fine-tune (see
+train/online.py) over a stacked (S, ...) parameter pytree and shards the
+sequence axis across a 1-D mesh. Each sequence's optimization is fully
+independent, so the mapped program is collective-free: S/num_devices
+fine-tunes run per chip, at native per-chip efficiency, with one dispatch
+for the whole val split.
+
+S not divisible by the mesh size is handled by padding with replicas of the
+last sequence and dropping their results.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from osvos_tpu.configs import ModelConfig, OnlineConfig
+from osvos_tpu.train.online import make_fine_tune_fn
+
+
+def _pad_to(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    pad = n - x.shape[0]
+    if pad == 0:
+        return x
+    return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+
+
+def batched_fine_tune(
+    params,
+    images: jnp.ndarray,   # (S, H, W, 3) first frames, preprocessed
+    masks: jnp.ndarray,    # (S, H, W, 1) first-frame annotations
+    model_config: ModelConfig,
+    cfg: OnlineConfig,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "seq",
+    stacked_params: bool = False,
+    **fine_tune_kw,
+) -> Tuple[object, jnp.ndarray]:
+    """Fine-tune S sequences concurrently.
+
+    params: one parent pytree (broadcast to all sequences), or — with
+    ``stacked_params=True`` — an already-stacked (S, ...) pytree.
+    Returns (stacked adapted params (S, ...), losses (S, n_steps)).
+    """
+    s = images.shape[0]
+    fine_tune = make_fine_tune_fn(model_config, cfg, **fine_tune_kw)
+
+    if not stacked_params:
+        params = jax.tree.map(lambda p: jnp.broadcast_to(p[None],
+                                                         (s,) + p.shape),
+                              params)
+
+    keys = jax.random.split(jax.random.PRNGKey(cfg.seed), s)
+
+    s_padded = s
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        s_padded = -(-s // n_dev) * n_dev
+        params = jax.tree.map(lambda p: _pad_to(p, s_padded), params)
+        images = _pad_to(images, s_padded)
+        masks = _pad_to(masks, s_padded)
+        keys = _pad_to(keys, s_padded)
+
+    vmapped = jax.vmap(fine_tune, in_axes=(0, 0, 0, 0))
+
+    if mesh is not None:
+        shard = NamedSharding(mesh, P(axis_name))
+        fn = jax.jit(
+            vmapped,
+            in_shardings=(jax.tree.map(lambda _: shard, params),
+                          shard, shard, shard),
+            out_shardings=(jax.tree.map(lambda _: shard, params), shard),
+            donate_argnums=(0,),
+        )
+    else:
+        fn = jax.jit(vmapped, donate_argnums=(0,))
+
+    new_params, losses = fn(params, images, masks, keys)
+    if s_padded != s:
+        new_params = jax.tree.map(lambda p: p[:s], new_params)
+        losses = losses[:s]
+    return new_params, losses
+
+
+def unstack_params(stacked, index: int):
+    """Extract sequence ``index``'s adapted params from the stacked pytree."""
+    return jax.tree.map(lambda p: p[index], stacked)
+
+
+def stack_param_list(params_list):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+
+
+def batched_infer(
+    stacked_params,
+    frames: jnp.ndarray,  # (S, T, H, W, 3) padded per-sequence frame stacks
+    model_config: ModelConfig,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "seq",
+) -> jnp.ndarray:
+    """Per-sequence-adapted inference over padded frame stacks.
+
+    Returns (S, T, H, W) uint8 probability maps. Frame counts differ across
+    DAVIS sequences; callers pad T to the max (masking is a host concern —
+    padded frames are simply ignored downstream).
+    """
+    from osvos_tpu.models.vgg_osvos import OSVOS
+
+    model = OSVOS(model_config)
+
+    def one_seq(p, seq_frames):
+        logits = model.apply({"params": p}, seq_frames)[-1]
+        return jnp.round(255.0 * jax.nn.sigmoid(logits[..., 0])).astype(
+            jnp.uint8)
+
+    vmapped = jax.vmap(one_seq, in_axes=(0, 0))
+    if mesh is not None:
+        shard = NamedSharding(mesh, P(axis_name))
+        s = frames.shape[0]
+        n_dev = mesh.devices.size
+        s_padded = -(-s // n_dev) * n_dev
+        stacked_params = jax.tree.map(lambda p: _pad_to(p, s_padded),
+                                      stacked_params)
+        frames = _pad_to(frames, s_padded)
+        fn = jax.jit(vmapped,
+                     in_shardings=(jax.tree.map(lambda _: shard,
+                                                stacked_params), shard),
+                     out_shardings=shard)
+        out = fn(stacked_params, frames)
+        return out[:s]
+    return jax.jit(vmapped)(stacked_params, frames)

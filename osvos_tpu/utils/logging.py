@@ -1,0 +1,53 @@
+"""Scalar logging: JSONL always, TensorBoard when available.
+
+The reference logs train/val losses through tensorboardX inline in its
+drivers (train_parent.py:~110). We keep the same scalar names
+(``total_loss_epoch`` etc.) and add a machine-readable JSONL stream that the
+bench/CI layers consume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+
+class ScalarLogger:
+    def __init__(self, log_dir: str, use_tensorboard: bool = True):
+        os.makedirs(log_dir, exist_ok=True)
+        self.jsonl_path = os.path.join(log_dir, "scalars.jsonl")
+        self._jsonl = open(self.jsonl_path, "a")
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir)
+            except Exception:
+                self._tb = None
+
+    def add_scalar(self, tag: str, value: float, step: int) -> None:
+        rec = {"tag": tag, "value": float(value), "step": int(step),
+               "ts": time.time()}
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+
+    def close(self) -> None:
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+class StepTimer:
+    """Lightweight wall-clock probe (the reference prints the total online
+    fine-tune time, train_online.py:~130)."""
+
+    def __init__(self):
+        self.t0 = time.perf_counter()
+
+    def elapsed(self) -> float:
+        return time.perf_counter() - self.t0

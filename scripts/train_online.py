@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""One-shot online fine-tuning + sequence inference (mirrors the reference's
+``python train_online.py``; seq_name is a flag instead of an edited
+variable).
+
+Example:
+    python scripts/train_online.py --db_root /data/DAVIS \
+        --parent runs/models/parent_epoch-239.ckpt --seq_name blackswan
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--db_root", default=None)
+    ap.add_argument("--save_root", default=None)
+    ap.add_argument("--parent", required=True,
+                    help="parent checkpoint (.ckpt from train_parent, or "
+                         ".pth/.npz reference state_dict)")
+    ap.add_argument("--seq_name", default="blackswan")
+    ap.add_argument("--all_val", action="store_true",
+                    help="run every val-split sequence (batched across the "
+                         "mesh when >1 device)")
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--n_ave_grad", type=int, default=5)
+    ap.add_argument("--lr", type=float, default=1e-8)
+    ap.add_argument("--weight_decay", type=float, default=0.0002)
+    ap.add_argument("--momentum", type=float, default=0.9)
+    ap.add_argument("--compute_mode", default="fast",
+                    choices=["fast", "parity"])
+    ap.add_argument("--aug_mode", default="pool",
+                    choices=["pool", "per_step"])
+    ap.add_argument("--no_save", action="store_true")
+    ap.add_argument("--eval", action="store_true",
+                    help="compute in-repo DAVIS J/F for the sequence(s)")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from osvos_tpu.configs import (DataConfig, ModelConfig, OnlineConfig,
+                                   PathConfig)
+    from osvos_tpu.data.davis import DAVIS2016
+    from osvos_tpu.evaluation.davis_j import evaluate_sequence
+    from osvos_tpu.evaluation.infer import (infer_sequence, make_infer_fn,
+                                            save_sequence_results)
+    from osvos_tpu.models import load_torch_state_dict
+    from osvos_tpu.train.online import run_online
+    from osvos_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+    from osvos_tpu.utils.torch_port import load_pth_as_numpy
+
+    paths = PathConfig()
+    db_root = args.db_root or paths.db_root_dir
+    save_root = args.save_root or paths.save_root_dir
+    results_dir = os.path.join(save_root, "Results")
+
+    model_config = ModelConfig(compute_mode=args.compute_mode)
+    cfg = OnlineConfig(seq_name=args.seq_name, n_steps=args.steps,
+                       n_ave_grad=args.n_ave_grad, lr=args.lr,
+                       weight_decay=args.weight_decay,
+                       momentum=args.momentum, seed=args.seed)
+
+    if args.parent.endswith((".pth", ".pt", ".npz")):
+        params = load_torch_state_dict(load_pth_as_numpy(args.parent))
+    else:
+        params, _, _ = load_checkpoint(args.parent)
+
+    data_cfg = DataConfig()
+
+    def run_one(seq_name: str, parent_params):
+        ocfg = OnlineConfig(**{**cfg.__dict__, "seq_name": seq_name})
+        train_ds = DAVIS2016(train=True, db_root_dir=db_root,
+                             seq_name=seq_name, data_config=data_cfg)
+        img, gt = train_ds.make_img_gt_pair(0)
+        t0 = time.perf_counter()
+        result = run_online(parent_params, img, gt[..., None], model_config,
+                            ocfg, aug_mode=args.aug_mode)
+        jax.block_until_ready(result.params)
+        ft_time = time.perf_counter() - t0
+
+        test_ds = DAVIS2016(train=False, db_root_dir=db_root,
+                            seq_name=seq_name, data_config=data_cfg)
+        frames = [test_ds.make_img_gt_pair(i)[0] for i in range(len(test_ds))]
+        t0 = time.perf_counter()
+        masks = infer_sequence(result.params, frames, model_config)
+        infer_time = time.perf_counter() - t0
+        print(f"[{seq_name}] fine-tune {ft_time:.1f}s "
+              f"({ocfg.n_steps} steps), inference "
+              f"{len(frames) / max(infer_time, 1e-9):.1f} f/s, "
+              f"final loss {float(result.losses[-1]):.4f}", flush=True)
+
+        if not args.no_save:
+            fnames = [test_ds.img_list[i] for i in range(len(test_ds))]
+            save_sequence_results(masks, fnames, results_dir, seq_name)
+            save_checkpoint(os.path.join(save_root, "models",
+                                         f"{seq_name}_online.ckpt"),
+                            result.params, step=ocfg.n_steps)
+        if args.eval:
+            import cv2
+
+            ann_dir = os.path.join(db_root, "Annotations",
+                                   data_cfg.resolution, seq_name)
+            anns = [cv2.imread(os.path.join(ann_dir, f), 0)
+                    for f in sorted(os.listdir(ann_dir))]
+            anns = [a / max(a.max(), 1e-8) for a in anns]
+            if len(anns) == len(masks):
+                m = evaluate_sequence(anns, [mk >= 128 for mk in masks])
+                print(f"[{seq_name}] J={m['J_mean']:.4f} "
+                      f"F={m['F_mean']:.4f}", flush=True)
+                return m
+        return None
+
+    if args.all_val:
+        from osvos_tpu.data.davis import _read_split
+
+        seqs = _read_split(db_root, train=False, year=data_cfg.year)
+        metrics = []
+        for seq in seqs:
+            m = run_one(seq, params)
+            if m:
+                metrics.append(m)
+        if metrics:
+            print(f"[ALL] J-mean={np.mean([m['J_mean'] for m in metrics]):.4f} "
+                  f"F-mean={np.mean([m['F_mean'] for m in metrics]):.4f}",
+                  flush=True)
+    else:
+        run_one(args.seq_name, params)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Parent-network training entry point (mirrors the reference's
+``python train_parent.py``, with CLI overrides instead of edit-in-place
+hyperparameters).
+
+Example:
+    python scripts/train_parent.py --db_root /data/DAVIS --epochs 240 \
+        --vgg_npz runs/models/vgg16_features.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--db_root", default=None)
+    ap.add_argument("--save_root", default=None)
+    ap.add_argument("--epochs", type=int, default=240)
+    ap.add_argument("--batch_size", type=int, default=1)
+    ap.add_argument("--n_ave_grad", type=int, default=10)
+    ap.add_argument("--lr", type=float, default=1e-8)
+    ap.add_argument("--weight_decay", type=float, default=0.0002)
+    ap.add_argument("--momentum", type=float, default=0.9)
+    ap.add_argument("--snapshot", type=int, default=40)
+    ap.add_argument("--test_interval", type=int, default=5)
+    ap.add_argument("--no_test", action="store_true")
+    ap.add_argument("--resume", default=None, help="checkpoint to resume")
+    ap.add_argument("--vgg_npz", default=None,
+                    help="torchvision VGG-16 features as .npz/.pth "
+                         "(utils/torch_port.py) for ImageNet init")
+    ap.add_argument("--compute_mode", default="fast",
+                    choices=["fast", "parity"])
+    ap.add_argument("--data_parallel", type=int, default=0,
+                    help="devices for batch-parallel training (0 = all)")
+    ap.add_argument("--input_h", type=int, default=480)
+    ap.add_argument("--input_w", type=int, default=854)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    from osvos_tpu.configs import DataConfig, ModelConfig, ParentConfig, PathConfig
+    from osvos_tpu.models import init_osvos_params
+    from osvos_tpu.parallel.mesh import make_mesh
+    from osvos_tpu.train.parent import ParentTrainer, make_train_pipeline
+    from osvos_tpu.utils import torch_port
+    from osvos_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+    from osvos_tpu.utils.logging import ScalarLogger, StepTimer
+
+    paths = PathConfig()
+    db_root = args.db_root or paths.db_root_dir
+    save_root = args.save_root or paths.save_root_dir
+    os.makedirs(save_root, exist_ok=True)
+
+    cfg = ParentConfig(
+        n_epochs=args.epochs, batch_size=args.batch_size,
+        n_ave_grad=args.n_ave_grad, snapshot_every=args.snapshot,
+        lr=args.lr, weight_decay=args.weight_decay, momentum=args.momentum,
+        use_test=not args.no_test, test_interval=args.test_interval,
+        seed=args.seed)
+    model_config = ModelConfig(compute_mode=args.compute_mode)
+
+    trunk = (torch_port.load_pth_as_numpy(args.vgg_npz)
+             if args.vgg_npz else None)
+    params = init_osvos_params(jax.random.PRNGKey(args.seed), model_config,
+                               trunk_weights=trunk)
+
+    n_dp = args.data_parallel or len(jax.devices())
+    mesh = make_mesh("data", n_devices=n_dp) if n_dp > 1 else None
+    trainer = ParentTrainer(params, model_config, cfg, mesh=mesh)
+
+    start_epoch = 0
+    if args.resume:
+        p, o, start_epoch = load_checkpoint(args.resume, trainer.params,
+                                            trainer.opt_state)
+        trainer.params, trainer.opt_state = p, o
+
+    data_cfg = DataConfig()
+    _, epoch_batches = make_train_pipeline(
+        db_root, data_cfg, cfg, input_res=(args.input_h, args.input_w),
+        seed=args.seed)
+
+    logger = ScalarLogger(os.path.join(save_root, "logs_parent"))
+    timer = StepTimer()
+    step = 0
+    for epoch in range(start_epoch, cfg.n_epochs):
+        side_w = 1.0 - epoch / cfg.n_epochs
+        epoch_loss = []
+        for batch in epoch_batches():
+            metrics = trainer.train_step(batch["image"], batch["gt"], side_w)
+            step += 1
+            epoch_loss.append(float(metrics["total"]))
+            if step % cfg.log_every_steps == 0:
+                logger.add_scalar("total_loss_iter", epoch_loss[-1], step)
+        logger.add_scalar("total_loss_epoch", float(np.mean(epoch_loss)),
+                          epoch)
+        print(f"[epoch {epoch}] loss={np.mean(epoch_loss):.4f} "
+              f"elapsed={timer.elapsed():.1f}s", flush=True)
+        if (epoch + 1) % cfg.snapshot_every == 0 or epoch == cfg.n_epochs - 1:
+            ckpt = os.path.join(save_root, "models",
+                                f"parent_epoch-{epoch}.ckpt")
+            save_checkpoint(ckpt, trainer.params, trainer.opt_state, epoch)
+            print(f"  snapshot -> {ckpt}", flush=True)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

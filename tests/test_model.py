@@ -1,0 +1,89 @@
+"""Model-level parity: our Flax OSVOS vs an independent torch restatement of
+the reference architecture, with identical weights (SURVEY.md §4b golden
+test, random-weight variant — no pretrained weights are fetchable offline)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from osvos_tpu.configs import ModelConfig
+from osvos_tpu.models import OSVOS, init_osvos_params, load_torch_state_dict
+from osvos_tpu.models.vgg_osvos import stage_conv_names
+
+from tests.torch_oracle import TorchOSVOS
+
+
+@pytest.fixture(scope="module")
+def torch_net():
+    torch.manual_seed(7)
+    net = TorchOSVOS()
+    net.eval()
+    return net
+
+
+@pytest.fixture(scope="module")
+def ported_params(torch_net):
+    state = {k: v.detach().numpy() for k, v in torch_net.state_dict().items()}
+    return load_torch_state_dict(state)
+
+
+def test_port_roundtrip_covers_all_params(ported_params):
+    names = {n for n, _, _ in stage_conv_names()}
+    names |= {f"side_prep{i}" for i in range(1, 5)}
+    names |= {f"score_dsn{i}" for i in range(1, 5)}
+    names |= {"fuse"}
+    assert set(ported_params.keys()) == names
+
+
+@pytest.mark.parametrize("hw", [(65, 97), (64, 96)])
+def test_forward_parity_random_weights(torch_net, ported_params, rng, hw):
+    h, w = hw
+    x = (rng.randn(1, h, w, 3) * 40).astype(np.float32)
+    with torch.no_grad():
+        torch_out = torch_net(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    model = OSVOS(ModelConfig(compute_mode="parity"))
+    jax_out = jax.jit(lambda p, v: model.apply({"params": p}, v))(
+        ported_params, jnp.asarray(x))
+    assert len(jax_out) == len(torch_out) == 5
+    for i, (jo, to) in enumerate(zip(jax_out, torch_out)):
+        to = np.transpose(to.numpy(), (0, 2, 3, 1))
+        assert jo.shape == to.shape == (1, h, w, 1), i
+        scale = max(np.abs(to).max(), 1e-3)
+        np.testing.assert_allclose(np.asarray(jo), to, atol=2e-4 * scale,
+                                   err_msg=f"output {i}")
+
+
+def test_output_shapes_davis_like():
+    # Full odd-shape chain (480p DAVIS) — shapes only, tiny channel config
+    # to keep CPU time sane.
+    cfg = ModelConfig(stages=((4, 4), (6, 6), (8, 8, 8), (8, 8, 8), (8, 8, 8)),
+                      side_channels=4)
+    model = OSVOS(cfg)
+    x = jnp.zeros((1, 480, 854, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    outs = model.apply({"params": params}, x)
+    for o in outs:
+        assert o.shape == (1, 480, 854, 1)
+
+
+def test_init_matches_reference_distribution():
+    params = init_osvos_params(jax.random.PRNGKey(0))
+    k = np.asarray(params["side_prep1"]["kernel"])
+    assert abs(float(k.std()) - 0.001) < 3e-4
+    assert float(np.abs(np.asarray(params["fuse"]["bias"])).max()) == 0.0
+
+
+def test_fast_mode_close_to_parity(ported_params, rng):
+    x = (rng.randn(1, 33, 49, 3) * 20).astype(np.float32)
+    parity = OSVOS(ModelConfig(compute_mode="parity"))
+    fast = OSVOS(ModelConfig(compute_mode="fast"))
+    o1 = parity.apply({"params": ported_params}, jnp.asarray(x))[-1]
+    o2 = fast.apply({"params": ported_params}, jnp.asarray(x))[-1]
+    assert o2.dtype == jnp.float32
+    # bf16 trunk: expect coarse but correlated agreement
+    denom = float(np.abs(np.asarray(o1)).max()) + 1e-6
+    rel = float(np.abs(np.asarray(o1) - np.asarray(o2)).max()) / denom
+    assert rel < 0.15, rel

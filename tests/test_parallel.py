@@ -1,0 +1,111 @@
+"""Mesh/sharding tests on the 8-virtual-device CPU platform
+(SURVEY.md §4d): batched online adaptation sharded over sequences, and the
+data-parallel parent step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from osvos_tpu.configs import ModelConfig, OnlineConfig, ParentConfig
+from osvos_tpu.models import init_osvos_params
+from osvos_tpu.parallel.batched_online import (batched_fine_tune,
+                                               batched_infer,
+                                               stack_param_list,
+                                               unstack_params)
+from osvos_tpu.parallel.mesh import make_mesh
+from osvos_tpu.train.online import make_fine_tune_fn
+from osvos_tpu.train.parent import ParentTrainer
+
+TINY = ModelConfig(stages=((4, 4), (6, 6), (8, 8, 8), (8, 8, 8), (8, 8, 8)),
+                   side_channels=4, compute_mode="parity")
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    return init_osvos_params(jax.random.PRNGKey(0), TINY, input_hw=(32, 48))
+
+
+def _pairs(rng, s, h=32, w=48):
+    imgs, masks = [], []
+    for i in range(s):
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        img = np.stack([np.sin(xx / (4 + i)), np.cos(yy / 5), xx / w], -1) * 50
+        m = (((yy - h / 2) / (h / 4)) ** 2
+             + ((xx - (w / 3 + 4 * i)) / (w / 5)) ** 2 <= 1).astype(np.float32)
+        img += np.where(m[..., None] > 0, 70.0, 0.0)
+        imgs.append(img.astype(np.float32))
+        masks.append(m[..., None])
+    return jnp.asarray(np.stack(imgs)), jnp.asarray(np.stack(masks))
+
+
+def test_eight_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_batched_fine_tune_matches_sequential(tiny_params, rng):
+    """vmapped+sharded adaptation == per-sequence fine-tune, bitwise-close."""
+    imgs, masks = _pairs(rng, 2)
+    cfg = OnlineConfig(n_steps=3, n_ave_grad=2, lr=1e-5)
+
+    mesh = make_mesh("seq", n_devices=2)
+    stacked, losses = batched_fine_tune(
+        tiny_params, imgs, masks, TINY, cfg, mesh=mesh, aug_mode="pool",
+        pool_size=4)
+    assert losses.shape == (2, 3)
+
+    ft = make_fine_tune_fn(TINY, cfg, aug_mode="pool", pool_size=4)
+    keys = jax.random.split(jax.random.PRNGKey(cfg.seed), 2)
+    for i in range(2):
+        p_i, l_i = jax.jit(ft)(tiny_params, imgs[i], masks[i], keys[i])
+        np.testing.assert_allclose(np.asarray(losses[i]), np.asarray(l_i),
+                                   rtol=1e-4, err_msg=f"seq {i} losses")
+        got = unstack_params(stacked, i)
+        flat_g = jax.tree_util.tree_leaves(got)
+        flat_w = jax.tree_util.tree_leaves(p_i)
+        for g, w in zip(flat_g, flat_w):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-4, atol=1e-7)
+
+
+def test_batched_fine_tune_pads_uneven_sequences(tiny_params, rng):
+    imgs, masks = _pairs(rng, 3)  # 3 sequences over 2 devices
+    cfg = OnlineConfig(n_steps=2, n_ave_grad=1, lr=1e-6)
+    mesh = make_mesh("seq", n_devices=2)
+    stacked, losses = batched_fine_tune(tiny_params, imgs, masks, TINY, cfg,
+                                        mesh=mesh, aug_mode="pool",
+                                        pool_size=2)
+    assert losses.shape == (2 + 1, cfg.n_steps) or losses.shape == (3, cfg.n_steps)
+    leaves = jax.tree_util.tree_leaves(stacked)
+    assert all(l.shape[0] == 3 for l in leaves)
+
+
+def test_batched_infer_sharded(tiny_params, rng):
+    imgs, _ = _pairs(rng, 2)
+    frames = jnp.stack([imgs, imgs], axis=1)  # (S=2, T=2, H, W, 3)...
+    stacked = stack_param_list([tiny_params, tiny_params])
+    mesh = make_mesh("seq", n_devices=2)
+    out = batched_infer(stacked, frames, TINY, mesh=mesh)
+    assert out.shape == (2, 2, 32, 48)
+    assert out.dtype == jnp.uint8
+
+
+def test_parent_trainer_data_parallel_matches_single(tiny_params, rng):
+    imgs, masks = _pairs(rng, 4)
+    cfg = ParentConfig(n_epochs=2, batch_size=4, n_ave_grad=1, lr=1e-5)
+
+    t_single = ParentTrainer(tiny_params, TINY, cfg, mesh=None)
+    m1 = t_single.train_step(np.asarray(imgs), np.asarray(masks), 1.0)
+
+    mesh = make_mesh("data", n_devices=4)
+    t_dp = ParentTrainer(tiny_params, TINY, cfg, mesh=mesh)
+    m2 = t_dp.train_step(np.asarray(imgs), np.asarray(masks), 1.0)
+
+    np.testing.assert_allclose(float(m1["total"]), float(m2["total"]),
+                               rtol=1e-4)
+    flat1 = jax.tree_util.tree_leaves(t_single.params)
+    flat2 = jax.tree_util.tree_leaves(t_dp.params)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-7)

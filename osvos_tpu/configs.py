@@ -80,6 +80,8 @@ class ParentConfig:
     # TPU additions (no reference equivalent — single GPU there):
     data_parallel: int = 1        # devices for batch-parallel training
     log_every_steps: int = 50
+    # 'xla' | 'pallas' — fused single-pass CB-BCE kernel (ops/pallas/cbbce)
+    loss_impl: str = "xla"
 
 
 @dataclasses.dataclass
@@ -102,6 +104,8 @@ class OnlineConfig:
     hflip_prob: float = 0.5
     save_results: bool = True
     vis_res: bool = False
+    # 'xla' | 'pallas' — fused single-pass CB-BCE kernel (ops/pallas/cbbce)
+    loss_impl: str = "xla"
 
 
 @dataclasses.dataclass

@@ -49,6 +49,15 @@ def _read_split(db_root: str, train: bool, year: str) -> List[str]:
                 if name not in seqs:
                     seqs.append(name)
             return seqs
+    # Packaged copies of the standard DAVIS-2016 splits (the reference
+    # expects train_seqs.txt/val_seqs.txt at the DAVIS root,
+    # davis_2016.py:~35; we additionally ship them so a bare image tree
+    # works). Only used when year == 2016.
+    if year == "2016":
+        packaged = os.path.join(os.path.dirname(__file__), "splits", fname)
+        if os.path.exists(packaged):
+            with open(packaged) as f:
+                return [ln.strip() for ln in f if ln.strip()]
     raise FileNotFoundError(
         f"no split file at {ref_style} or {official}")
 

@@ -26,13 +26,20 @@ from osvos_tpu.configs import ModelConfig
 from osvos_tpu.models.vgg_osvos import OSVOS
 
 
-def make_infer_fn(model_config: ModelConfig) -> Callable:
-    """jit'd ``(params, images(N,H,W,3)) -> probs_u8 (N,H,W) uint8``."""
+def make_infer_fn(model_config: ModelConfig, fused_head: bool = True) -> Callable:
+    """jit'd ``(params, images(N,H,W,3)) -> probs_u8 (N,H,W) uint8``.
+
+    fused_head=True uses the algebraically-identical collapsed fusion path
+    (models/vgg_osvos.py mode='infer'): ~16x less full-resolution HBM
+    traffic and no dead score_dsn branches. fused_head=False runs the
+    reference-ordered graph for bit-parity experiments.
+    """
     model = OSVOS(model_config)
+    mode = "infer" if fused_head else "train"
 
     @jax.jit
     def infer(params, images):
-        logits = model.apply({"params": params}, images)[-1]
+        logits = model.apply({"params": params}, images, mode=mode)[-1]
         probs = jax.nn.sigmoid(logits[..., 0])
         return jnp.round(255.0 * probs).astype(jnp.uint8)
 

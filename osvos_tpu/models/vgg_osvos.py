@@ -38,6 +38,24 @@ from osvos_tpu.ops.pool import max_pool_ceil
 from osvos_tpu.ops.upsample import bilinear_upsample
 
 
+class _Conv1x1Params(nn.Module):
+    """Bare (kernel, bias) for a 1x1 conv, with nn.Conv-compatible tree
+    layout — lets the fused inference head slice the fuse kernel per side
+    branch while checkpoints stay interchangeable with the train path."""
+
+    in_features: int
+    features: int = 1
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, self.in_features, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
 class OSVOS(nn.Module):
     """VGG-16 FCN with deeply-supervised side outputs and a fusion head."""
 
@@ -52,15 +70,29 @@ class OSVOS(nn.Module):
                 else jnp.bfloat16)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+    def __call__(self, x: jnp.ndarray, mode: str = "train") -> List[jnp.ndarray]:
         """x: (N, H, W, 3) preprocessed frames (BGR minus caffe mean).
 
-        Returns five (N, H, W, 1) float32 logit maps: four side outputs and
-        the fused output, in the reference's order (side1..side4, fuse).
+        mode='train': five (N, H, W, 1) float32 logit maps — four side
+        outputs and the fused output, the reference ``forward`` order
+        (vgg_osvos.py:~60).
+
+        mode='infer': ``[fused]`` only, via the algebraically-identical
+        fused head: the frozen bilinear upsample is channel-diagonal and
+        ``fuse`` is 1x1, so they commute —
+        ``fuse(cat_i(crop(up(f_i)))) = sum_i crop(up(f_i @ W_i)) + b``.
+        Each side branch collapses to one channel *before* upsampling,
+        cutting full-resolution HBM traffic ~16x and skipping the unused
+        score_dsn branches (the reference computes them at test time but
+        only consumes outputs[-1], train_online.py:~135).
         """
         cfg = self.config
+        assert mode in ("train", "infer"), mode
         dtype = self._compute_dtype()
         prec = self._precision()
+        f32_prec = (lax.Precision.HIGHEST if cfg.compute_mode == "parity"
+                    else prec)
+        up_method = "conv" if cfg.compute_mode == "parity" else "matmul"
         crop_h, crop_w = x.shape[1], x.shape[2]
         x = x.astype(dtype)
 
@@ -68,38 +100,57 @@ class OSVOS(nn.Module):
             feats, (k, k), padding=((k // 2, k // 2), (k // 2, k // 2)),
             dtype=dtype, param_dtype=jnp.float32, precision=prec, name=name)
 
+        n_sides = len(cfg.stages) - 1
+        fuse_kernel, fuse_bias = _Conv1x1Params(
+            in_features=n_sides * cfg.side_channels, name="fuse")()
+
         # Stage 1 (no pooling before it).
         for j, width in enumerate(cfg.stages[0]):
             x = nn.relu(conv(width, 3, f"stage1_conv{j}")(x))
 
         side_feats: List[jnp.ndarray] = []
         side_logits: List[jnp.ndarray] = []
+        fused_contribs: List[jnp.ndarray] = []
         for i, widths in enumerate(cfg.stages[1:], start=1):
             x = max_pool_ceil(x)
             for j, width in enumerate(widths):
                 x = nn.relu(conv(width, 3, f"stage{i + 1}_conv{j}")(x))
             factor = 2 ** i
             side_temp = conv(cfg.side_channels, 3, f"side_prep{i}")(x)
+
+            if mode == "infer":
+                # collapse to the fused channel at low res, then upsample
+                sl = slice((i - 1) * cfg.side_channels, i * cfg.side_channels)
+                w_i = fuse_kernel[0, 0, sl, :].astype(jnp.float32)
+                contrib = side_temp.astype(jnp.float32) @ w_i
+                fused_contribs.append(center_crop(
+                    bilinear_upsample(contrib, factor, precision=f32_prec,
+                                      method=up_method), crop_h, crop_w))
+                continue
+
             # 16-ch full-res feature for fusion
             feat = center_crop(
-                bilinear_upsample(side_temp, factor, precision=prec),
-                crop_h, crop_w)
+                bilinear_upsample(side_temp, factor, precision=prec,
+                                  method=up_method), crop_h, crop_w)
             side_feats.append(feat)
             # 1-ch logit side output (score_dsn accumulates in f32)
             score = nn.Conv(1, (1, 1), dtype=jnp.float32,
-                            param_dtype=jnp.float32,
-                            precision=lax.Precision.HIGHEST
-                            if cfg.compute_mode == "parity" else prec,
+                            param_dtype=jnp.float32, precision=f32_prec,
                             name=f"score_dsn{i}")(side_temp.astype(jnp.float32))
             side_logits.append(center_crop(
                 bilinear_upsample(score, factor,
-                                  precision=lax.Precision.HIGHEST), crop_h, crop_w))
+                                  precision=lax.Precision.HIGHEST,
+                                  method=up_method), crop_h, crop_w))
+
+        if mode == "infer":
+            out = sum(fused_contribs) + fuse_bias
+            return [out.astype(jnp.float32)]
 
         fused_in = jnp.concatenate(side_feats, axis=-1).astype(jnp.float32)
-        out = nn.Conv(1, (1, 1), dtype=jnp.float32, param_dtype=jnp.float32,
-                      precision=lax.Precision.HIGHEST
-                      if cfg.compute_mode == "parity" else prec,
-                      name="fuse")(fused_in)
+        out = lax.conv_general_dilated(
+            fused_in, fuse_kernel, (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=f32_prec) + fuse_bias
         return [o.astype(jnp.float32) for o in side_logits] + [out]
 
 

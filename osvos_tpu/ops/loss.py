@@ -44,12 +44,23 @@ def class_balanced_cross_entropy_loss(
     label: jnp.ndarray,
     size_average: bool = False,
     batch_average: bool = True,
+    impl: str = "xla",
 ) -> jnp.ndarray:
     """Reference-parity class-balanced BCE on logits (any shape, NHWC here).
 
     Matches layers/osvos_layers.py:~10 to float32 round-off (tests compare
     against the torch expression directly).
+
+    impl='pallas' dispatches to the fused single-pass TPU kernel
+    (ops/pallas/cbbce.py — same semantics, one HBM pass, fused backward).
     """
+    if impl == "pallas":
+        from osvos_tpu.ops.pallas.cbbce import (
+            class_balanced_cross_entropy_loss_pallas)
+
+        return class_balanced_cross_entropy_loss_pallas(
+            output, label, size_average, batch_average,
+            jax.default_backend() != "tpu")
     logits, labels, num_pos, num_neg, num_total = _balanced_terms(output, label)
     # -log sigmoid(x) and -log sigmoid(-x), both stable softplus forms.
     ce_pos = -jax.nn.log_sigmoid(logits)

@@ -34,10 +34,13 @@ def max_pool_ceil(x: jnp.ndarray, window: int = 2, stride: int = 2) -> jnp.ndarr
             last_start = (n_out - 1) * stride
         return max(last_start + window - dim, 0)
 
-    neg_inf = jnp.asarray(-jnp.inf, dtype=x.dtype)
+    # NB: the init value must be a Python/numpy literal, not a traced array —
+    # a traced init breaks reverse-mode linearization of reduce_window inside
+    # lax.scan ("Linearization failed to produce known values"), which is
+    # exactly where the online fine-tune loop differentiates this op.
     return lax.reduce_window(
         x,
-        neg_inf,
+        -jnp.inf,
         lax.max,
         window_dimensions=(1, window, window, 1),
         window_strides=(1, stride, stride, 1),

@@ -4,10 +4,18 @@ The reference adapts the 20 DAVIS-2016 val sequences *serially* — one
 ``train_online.py`` run per sequence (SURVEY.md §2 parallelism table). The
 TPU-native replacement vmaps the entire jit'd fine-tune (see
 train/online.py) over a stacked (S, ...) parameter pytree and shards the
-sequence axis across a 1-D mesh. Each sequence's optimization is fully
-independent, so the mapped program is collective-free: S/num_devices
-fine-tunes run per chip, at native per-chip efficiency, with one dispatch
-for the whole val split.
+sequence axis across a 1-D mesh with ``shard_map``. Each sequence's
+optimization is fully independent, so the mapped program is
+collective-free: S/num_devices fine-tunes run per chip, at native per-chip
+efficiency, with one dispatch for the whole val split.
+
+Why shard_map rather than plain jit-of-vmap with sharded inputs: vmapping a
+conv over stacked kernels lowers to a feature_group_count=S grouped
+convolution, and the GSPMD partitioner cannot split such a conv along the
+group axis when each group has a single output feature (score_dsn/fuse are
+C->1 1x1 convs) — it emits an invalid per-shard conv. shard_map slices the
+sequence axis *before* tracing the convs, so every device just runs the
+local (S/D)-way vmapped program unpartitioned.
 
 S not divisible by the mesh size is handled by padding with replicas of the
 last sequence and dropping their results.
@@ -73,14 +81,17 @@ def batched_fine_tune(
     vmapped = jax.vmap(fine_tune, in_axes=(0, 0, 0, 0))
 
     if mesh is not None:
-        shard = NamedSharding(mesh, P(axis_name))
-        fn = jax.jit(
-            vmapped,
-            in_shardings=(jax.tree.map(lambda _: shard, params),
-                          shard, shard, shard),
-            out_shardings=(jax.tree.map(lambda _: shard, params), shard),
-            donate_argnums=(0,),
-        )
+        spec = P(axis_name)
+        mapped = jax.shard_map(
+            vmapped, mesh=mesh,
+            in_specs=(spec, spec, spec, spec),
+            out_specs=(spec, spec))
+        shard = NamedSharding(mesh, spec)
+        params = jax.device_put(params, shard)
+        images = jax.device_put(images, shard)
+        masks = jax.device_put(masks, shard)
+        keys = jax.device_put(keys, shard)
+        fn = jax.jit(mapped, donate_argnums=(0,))
     else:
         fn = jax.jit(vmapped, donate_argnums=(0,))
 
@@ -118,23 +129,24 @@ def batched_infer(
     model = OSVOS(model_config)
 
     def one_seq(p, seq_frames):
-        logits = model.apply({"params": p}, seq_frames)[-1]
+        logits = model.apply({"params": p}, seq_frames, mode="infer")[-1]
         return jnp.round(255.0 * jax.nn.sigmoid(logits[..., 0])).astype(
             jnp.uint8)
 
     vmapped = jax.vmap(one_seq, in_axes=(0, 0))
     if mesh is not None:
-        shard = NamedSharding(mesh, P(axis_name))
+        spec = P(axis_name)
+        shard = NamedSharding(mesh, spec)
         s = frames.shape[0]
         n_dev = mesh.devices.size
         s_padded = -(-s // n_dev) * n_dev
         stacked_params = jax.tree.map(lambda p: _pad_to(p, s_padded),
                                       stacked_params)
         frames = _pad_to(frames, s_padded)
-        fn = jax.jit(vmapped,
-                     in_shardings=(jax.tree.map(lambda _: shard,
-                                                stacked_params), shard),
-                     out_shardings=shard)
-        out = fn(stacked_params, frames)
+        mapped = jax.shard_map(vmapped, mesh=mesh, in_specs=(spec, spec),
+                               out_specs=spec)
+        stacked_params = jax.device_put(stacked_params, shard)
+        frames = jax.device_put(frames, shard)
+        out = jax.jit(mapped)(stacked_params, frames)
         return out[:s]
     return jax.jit(vmapped)(stacked_params, frames)

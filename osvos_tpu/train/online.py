@@ -79,7 +79,8 @@ def make_fine_tune_fn(
         def loss_fn(p, img, m):
             outs = model.apply({"params": p}, img[None])
             return class_balanced_cross_entropy_loss(
-                outs[-1], m[None], size_average=False)
+                outs[-1], m[None], size_average=False,
+                impl=getattr(cfg, "loss_impl", "xla"))
 
         def microstep(carry, skey):
             params, opt_state = carry
@@ -126,5 +127,9 @@ def run_online(params, image, mask, model_config: ModelConfig,
                cfg: OnlineConfig, **kw) -> OnlineResult:
     key = jax.random.PRNGKey(cfg.seed)
     fn = fine_tune_jit(model_config, cfg, **kw)
+    # Copy before the donated call — callers reuse the parent params across
+    # sequences (e.g. the serial --all_val loop) and donation would consume
+    # their buffers.
+    params = jax.tree.map(jnp.array, params)
     new_params, losses = fn(params, jnp.asarray(image), jnp.asarray(mask), key)
     return OnlineResult(params=new_params, losses=losses)

@@ -44,9 +44,9 @@ def make_parent_train_step(model_config: ModelConfig, cfg: ParentConfig):
 
     def loss_fn(params, images, gts, side_weight):
         outs = model.apply({"params": params}, images)
-        losses = [class_balanced_cross_entropy_loss(o, gts,
-                                                    size_average=False)
-                  for o in outs]
+        losses = [class_balanced_cross_entropy_loss(
+            o, gts, size_average=False,
+            impl=getattr(cfg, "loss_impl", "xla")) for o in outs]
         total = side_weight * sum(losses[:-1]) + losses[-1]
         return total, jnp.stack(losses)
 
@@ -72,7 +72,9 @@ class ParentTrainer:
         self.tx = make_osvos_optimizer(
             params, base_lr=cfg.lr, momentum=cfg.momentum,
             weight_decay=cfg.weight_decay, n_ave_grad=cfg.n_ave_grad)
-        self.params = params
+        # Private copy: the jitted step donates (params, opt_state), and
+        # donation must never consume buffers the caller still owns.
+        self.params = jax.tree.map(jnp.array, params)
         self.opt_state = self.tx.init(params)
         self.mesh = mesh
         _, make = make_parent_train_step(model_config, cfg)

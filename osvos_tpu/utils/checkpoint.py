@@ -20,9 +20,12 @@ def save_checkpoint(path: str, params: Any, opt_state: Any = None,
                     step: int = 0) -> str:
     """Write a msgpack checkpoint (atomic rename)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    # to_state_dict: optax states (MultiStepsState etc.) are custom pytree
+    # nodes msgpack can't pack; flatten them to plain nested dicts first.
     payload = {
-        "params": jax.device_get(params),
-        "opt_state": jax.device_get(opt_state) if opt_state is not None else {},
+        "params": serialization.to_state_dict(jax.device_get(params)),
+        "opt_state": (serialization.to_state_dict(jax.device_get(opt_state))
+                      if opt_state is not None else {}),
         "step": step,
     }
     blob = serialization.msgpack_serialize(payload)

@@ -29,8 +29,11 @@ def main() -> None:
                          ".pth/.npz reference state_dict)")
     ap.add_argument("--seq_name", default="blackswan")
     ap.add_argument("--all_val", action="store_true",
-                    help="run every val-split sequence (batched across the "
-                         "mesh when >1 device)")
+                    help="run every val-split sequence")
+    ap.add_argument("--batched", action="store_true",
+                    help="with --all_val: vmap all sequences' fine-tunes "
+                         "concurrently, sharded over the device mesh "
+                         "(parallel/batched_online.py)")
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--n_ave_grad", type=int, default=5)
     ap.add_argument("--lr", type=float, default=1e-8)
@@ -41,6 +44,10 @@ def main() -> None:
     ap.add_argument("--aug_mode", default="pool",
                     choices=["pool", "per_step"])
     ap.add_argument("--no_save", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="reduced-width model (smoke tests / CPU dev "
+                         "shells; checkpoints are not interchangeable "
+                         "with the full model)")
     ap.add_argument("--eval", action="store_true",
                     help="compute in-repo DAVIS J/F for the sequence(s)")
     ap.add_argument("--seed", type=int, default=0)
@@ -65,7 +72,13 @@ def main() -> None:
     save_root = args.save_root or paths.save_root_dir
     results_dir = os.path.join(save_root, "Results")
 
-    model_config = ModelConfig(compute_mode=args.compute_mode)
+    if args.tiny:
+        model_config = ModelConfig(
+            stages=((8, 8), (12, 12), (16, 16, 16), (16, 16, 16),
+                    (16, 16, 16)),
+            side_channels=8, compute_mode=args.compute_mode)
+    else:
+        model_config = ModelConfig(compute_mode=args.compute_mode)
     cfg = OnlineConfig(seq_name=args.seq_name, n_steps=args.steps,
                        n_ave_grad=args.n_ave_grad, lr=args.lr,
                        weight_decay=args.weight_decay,
@@ -121,19 +134,99 @@ def main() -> None:
                 return m
         return None
 
+    def run_batched(seqs):
+        """All sequences adapt concurrently on the mesh (BASELINE config 5)."""
+        import cv2
+
+        from osvos_tpu.evaluation.infer import save_mask_png
+        from osvos_tpu.parallel.batched_online import (batched_fine_tune,
+                                                       batched_infer)
+        from osvos_tpu.parallel.mesh import make_mesh
+
+        h = w = None  # uniform static shape across the val split (native
+        # resolution of the first sequence; DAVIS 480p is 480x854)
+        first_imgs, first_masks, frame_lists, name_lists = [], [], [], []
+        for seq in seqs:
+            ds = DAVIS2016(train=True, db_root_dir=db_root, seq_name=seq,
+                           data_config=data_cfg)
+            img, gt = ds.make_img_gt_pair(0)
+            if h is None:
+                h, w = img.shape[:2]
+            if img.shape[:2] != (h, w):
+                img = cv2.resize(img, (w, h))
+                gt = cv2.resize(gt, (w, h), interpolation=cv2.INTER_NEAREST)
+            first_imgs.append(img)
+            first_masks.append(gt[..., None])
+            test_ds = DAVIS2016(train=False, db_root_dir=db_root,
+                                seq_name=seq, data_config=data_cfg)
+            frames = [test_ds.make_img_gt_pair(i)[0]
+                      for i in range(len(test_ds))]
+            frames = [f if f.shape[:2] == (h, w) else cv2.resize(f, (w, h))
+                      for f in frames]
+            frame_lists.append(frames)
+            name_lists.append([test_ds.img_list[i]
+                               for i in range(len(test_ds))])
+
+        mesh = make_mesh("seq") if len(jax.devices()) > 1 else None
+        t0 = time.perf_counter()
+        adapted, losses = batched_fine_tune(
+            params, jnp.asarray(np.stack(first_imgs)),
+            jnp.asarray(np.stack(first_masks)), model_config, cfg,
+            mesh=mesh, aug_mode=args.aug_mode)
+        jax.block_until_ready(losses)
+        ft = time.perf_counter() - t0
+        print(f"[batched] {len(seqs)} sequences fine-tuned in {ft:.1f}s "
+              f"({ft / len(seqs):.1f}s/seq amortized)", flush=True)
+
+        t_max = max(len(f) for f in frame_lists)
+        padded = np.stack([
+            np.stack(f + [f[-1]] * (t_max - len(f))) for f in frame_lists])
+        masks = np.asarray(batched_infer(adapted, jnp.asarray(padded),
+                                         model_config, mesh=mesh))
+        if not args.no_save:
+            for si, seq in enumerate(seqs):
+                for ti, fname in enumerate(name_lists[si]):
+                    stem = os.path.splitext(os.path.basename(fname))[0]
+                    save_mask_png(masks[si, ti],
+                                  os.path.join(results_dir, seq,
+                                               f"{stem}.png"))
+        if args.eval:
+            from osvos_tpu.evaluation.davis_j import evaluate_sequence
+
+            js, fs = [], []
+            for si, seq in enumerate(seqs):
+                ann_dir = os.path.join(db_root, "Annotations",
+                                       data_cfg.resolution, seq)
+                anns = [cv2.imread(os.path.join(ann_dir, f), 0)
+                        for f in sorted(os.listdir(ann_dir))]
+                anns = [a / max(a.max(), 1e-8) for a in anns]
+                n = len(name_lists[si])
+                m = evaluate_sequence(anns[:n],
+                                      [masks[si, t] >= 128 for t in range(n)])
+                print(f"[{seq}] J={m['J_mean']:.4f} F={m['F_mean']:.4f}",
+                      flush=True)
+                js.append(m["J_mean"])
+                fs.append(m["F_mean"])
+            print(f"[ALL] J-mean={np.mean(js):.4f} F-mean={np.mean(fs):.4f}",
+                  flush=True)
+
     if args.all_val:
         from osvos_tpu.data.davis import _read_split
 
         seqs = _read_split(db_root, train=False, year=data_cfg.year)
-        metrics = []
-        for seq in seqs:
-            m = run_one(seq, params)
-            if m:
-                metrics.append(m)
-        if metrics:
-            print(f"[ALL] J-mean={np.mean([m['J_mean'] for m in metrics]):.4f} "
-                  f"F-mean={np.mean([m['F_mean'] for m in metrics]):.4f}",
-                  flush=True)
+        if args.batched:
+            run_batched(seqs)
+        else:
+            metrics = []
+            for seq in seqs:
+                m = run_one(seq, params)
+                if m:
+                    metrics.append(m)
+            if metrics:
+                print(f"[ALL] "
+                      f"J-mean={np.mean([m['J_mean'] for m in metrics]):.4f} "
+                      f"F-mean={np.mean([m['F_mean'] for m in metrics]):.4f}",
+                      flush=True)
     else:
         run_one(args.seq_name, params)
 

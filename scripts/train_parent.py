@@ -42,6 +42,10 @@ def main() -> None:
                     help="devices for batch-parallel training (0 = all)")
     ap.add_argument("--input_h", type=int, default=480)
     ap.add_argument("--input_w", type=int, default=854)
+    ap.add_argument("--tiny", action="store_true",
+                    help="reduced-width model (smoke tests / CPU dev "
+                         "shells; checkpoints are not interchangeable "
+                         "with the full model)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -66,7 +70,13 @@ def main() -> None:
         lr=args.lr, weight_decay=args.weight_decay, momentum=args.momentum,
         use_test=not args.no_test, test_interval=args.test_interval,
         seed=args.seed)
-    model_config = ModelConfig(compute_mode=args.compute_mode)
+    if args.tiny:
+        model_config = ModelConfig(
+            stages=((8, 8), (12, 12), (16, 16, 16), (16, 16, 16),
+                    (16, 16, 16)),
+            side_channels=8, compute_mode=args.compute_mode)
+    else:
+        model_config = ModelConfig(compute_mode=args.compute_mode)
 
     trunk = (torch_port.load_pth_as_numpy(args.vgg_npz)
              if args.vgg_npz else None)
@@ -88,6 +98,19 @@ def main() -> None:
         db_root, data_cfg, cfg, input_res=(args.input_h, args.input_w),
         seed=args.seed)
 
+    # Val-loss probe set (reference useTest branch, train_parent.py:~150:
+    # loss only, no J metric).
+    val_ds = None
+    if cfg.use_test:
+        from osvos_tpu.data.davis import DAVIS2016
+        from osvos_tpu.data.transforms import Compose, Resize, ToArray
+
+        val_ds = DAVIS2016(
+            train=False, db_root_dir=db_root,
+            transform=Compose([Resize((args.input_h, args.input_w)),
+                               ToArray()]),
+            data_config=data_cfg)
+
     logger = ScalarLogger(os.path.join(save_root, "logs_parent"))
     timer = StepTimer()
     step = 0
@@ -104,6 +127,16 @@ def main() -> None:
                           epoch)
         print(f"[epoch {epoch}] loss={np.mean(epoch_loss):.4f} "
               f"elapsed={timer.elapsed():.1f}s", flush=True)
+        if val_ds is not None and (epoch + 1) % cfg.test_interval == 0:
+            val_losses = []
+            stride = max(1, len(val_ds) // 64)  # probe subset, loss only
+            for i in range(0, len(val_ds), stride):
+                s = val_ds[i]
+                val_losses.append(trainer.val_loss(s["image"][None],
+                                                   s["gt"][None]))
+            logger.add_scalar("val_loss_epoch", float(np.mean(val_losses)),
+                              epoch)
+            print(f"  val loss={np.mean(val_losses):.4f}", flush=True)
         if (epoch + 1) % cfg.snapshot_every == 0 or epoch == cfg.n_epochs - 1:
             ckpt = os.path.join(save_root, "models",
                                 f"parent_epoch-{epoch}.ckpt")

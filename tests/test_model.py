@@ -87,3 +87,19 @@ def test_fast_mode_close_to_parity(ported_params, rng):
     denom = float(np.abs(np.asarray(o1)).max()) + 1e-6
     rel = float(np.abs(np.asarray(o1) - np.asarray(o2)).max()) / denom
     assert rel < 0.15, rel
+
+
+@pytest.mark.parametrize("hw", [(65, 97), (64, 96)])
+def test_infer_mode_matches_train_fused_output(ported_params, rng, hw):
+    """mode='infer' (fused head: per-branch 1x1 before upsample) must equal
+    the reference-ordered train-mode fused logits to f32 round-off."""
+    h, w = hw
+    x = (rng.randn(1, h, w, 3) * 40).astype(np.float32)
+    model = OSVOS(ModelConfig(compute_mode="parity"))
+    train_out = model.apply({"params": ported_params}, jnp.asarray(x))[-1]
+    infer_out = model.apply({"params": ported_params}, jnp.asarray(x),
+                            mode="infer")
+    assert len(infer_out) == 1
+    scale = float(np.abs(np.asarray(train_out)).max()) + 1e-6
+    np.testing.assert_allclose(np.asarray(infer_out[0]),
+                               np.asarray(train_out), atol=2e-4 * scale)

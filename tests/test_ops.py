@@ -159,3 +159,15 @@ def test_scale_n_rotate_preserves_binary_mask(rng):
     vals = np.unique(np.asarray(mask2))
     assert set(vals.tolist()) <= {0.0, 1.0}
     assert img2.shape == img.shape and mask2.shape == mask.shape
+
+
+@pytest.mark.parametrize("factor", [2, 4, 8, 16])
+@pytest.mark.parametrize("ch", [1, 16])
+def test_bilinear_upsample_matmul_equals_conv(rng, factor, ch):
+    from osvos_tpu.ops.upsample import bilinear_upsample
+
+    x = rng.randn(1, 9, 13, ch).astype(np.float32)
+    a = np.asarray(bilinear_upsample(jnp.asarray(x), factor, method="conv"))
+    b = np.asarray(bilinear_upsample(jnp.asarray(x), factor, method="matmul"))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=2e-6)

@@ -1,0 +1,51 @@
+"""Pallas kernels vs their XLA twins (interpret mode on CPU; the same
+kernels compile for TPU — bench.py exercises that path on hardware)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from osvos_tpu.ops.loss import class_balanced_cross_entropy_loss
+from osvos_tpu.ops.pallas.cbbce import class_balanced_cross_entropy_loss_pallas
+
+
+@pytest.mark.parametrize("shape", [(1, 65, 97, 1), (2, 33, 49, 1), (1, 700,)])
+@pytest.mark.parametrize("size_average,batch_average",
+                         [(False, True), (False, False), (True, False)])
+def test_cbbce_pallas_matches_xla_forward(rng, shape, size_average,
+                                          batch_average):
+    logits = jnp.asarray(rng.randn(*shape).astype(np.float32) * 5)
+    labels = jnp.asarray((rng.rand(*shape) > 0.7).astype(np.float32))
+    want = class_balanced_cross_entropy_loss(
+        logits, labels, size_average=size_average,
+        batch_average=batch_average)
+    got = class_balanced_cross_entropy_loss_pallas(
+        logits, labels, size_average, batch_average, True)
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-6)
+
+
+def test_cbbce_pallas_matches_xla_grad(rng):
+    logits = jnp.asarray(rng.randn(1, 65, 97, 1).astype(np.float32) * 5)
+    labels = jnp.asarray((rng.rand(1, 65, 97, 1) > 0.7).astype(np.float32))
+
+    g_xla = jax.grad(lambda x: class_balanced_cross_entropy_loss(
+        x, labels, size_average=False))(logits)
+    g_pl = jax.grad(lambda x: class_balanced_cross_entropy_loss_pallas(
+        x, labels, False, True, True))(logits)
+    # Different-but-equivalent derivative formulations (sigmoid(x)-1 vs the
+    # log_sigmoid VJP): agreement to f32 round-off, not bit-equality.
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_xla),
+                               atol=1e-4)
+
+
+def test_cbbce_pallas_extreme_logits_finite(rng):
+    logits = jnp.asarray(np.array([[-200.0, 200.0, 0.0, -5.0]], np.float32))
+    labels = jnp.asarray(np.array([[0.0, 1.0, 1.0, 0.0]], np.float32))
+    want = class_balanced_cross_entropy_loss(logits, labels,
+                                             size_average=False)
+    got = class_balanced_cross_entropy_loss_pallas(logits, labels,
+                                                   False, True, True)
+    assert np.isfinite(float(got))
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-6)

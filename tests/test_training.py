@@ -173,3 +173,25 @@ def test_deep_supervision_annealing_weights_losses(tiny_params, rng):
                                rtol=1e-6)
     np.testing.assert_allclose(float(total_anneal), float(per[-1]),
                                rtol=1e-6)
+
+
+def test_checkpoint_roundtrip_with_multisteps_opt_state(tiny_params, tmp_path):
+    """save/load must handle optax MultiStepsState (custom pytree nodes the
+    msgpack layer can't pack raw — regression: train_parent snapshots)."""
+    from osvos_tpu.train.optim import make_osvos_optimizer
+    from osvos_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    tx = make_osvos_optimizer(tiny_params, base_lr=1e-6, n_ave_grad=3)
+    opt_state = tx.init(tiny_params)
+    path = str(tmp_path / "snap.ckpt")
+    save_checkpoint(path, tiny_params, opt_state, step=7)
+    p2, st2, step = load_checkpoint(path, tiny_params, opt_state)
+    assert step == 7
+    for a, b in zip(jax.tree_util.tree_leaves(tiny_params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    la = jax.tree_util.tree_leaves(opt_state)
+    lb = jax.tree_util.tree_leaves(st2)
+    assert len(la) == len(lb) and len(la) > 0
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

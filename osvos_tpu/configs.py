@@ -106,6 +106,10 @@ class OnlineConfig:
     vis_res: bool = False
     # 'xla' | 'pallas' — fused single-pass CB-BCE kernel (ops/pallas/cbbce)
     loss_impl: str = "xla"
+    # Optimizer steps per device dispatch: long scans are split into chunks
+    # so a single execution stays under remote-execution deadlines; the
+    # (params, opt_state) carry is donated between chunks.
+    scan_chunk: int = 250
 
 
 @dataclasses.dataclass

@@ -26,15 +26,44 @@ from osvos_tpu.configs import ModelConfig
 from osvos_tpu.models.vgg_osvos import OSVOS
 
 
-def make_infer_fn(model_config: ModelConfig, fused_head: bool = True) -> Callable:
+def make_infer_fn(model_config: ModelConfig, fused_head: bool = True,
+                  pallas_tail: Optional[bool] = None) -> Callable:
     """jit'd ``(params, images(N,H,W,3)) -> probs_u8 (N,H,W) uint8``.
 
     fused_head=True uses the algebraically-identical collapsed fusion path
     (models/vgg_osvos.py mode='infer'): ~16x less full-resolution HBM
     traffic and no dead score_dsn branches. fused_head=False runs the
     reference-ordered graph for bit-parity experiments.
+
+    pallas_tail: run upsample+fuse+sigmoid+uint8 as one Pallas kernel
+    (ops/pallas/fused_head.py) — only the final uint8 map touches HBM.
+    Default: on for TPU backends, off elsewhere (the kernel runs in
+    interpret mode off-TPU, which is correct but slow).
     """
     model = OSVOS(model_config)
+    if pallas_tail is None:
+        pallas_tail = jax.default_backend() == "tpu"
+
+    if fused_head and pallas_tail:
+        import numpy as _np
+
+        from osvos_tpu.ops.pallas.fused_head import fused_upsample_sigmoid_u8
+
+        factors = [2 ** i for i in range(1, len(model_config.stages))]
+        interpret = jax.default_backend() != "tpu"
+
+        @jax.jit
+        def infer(params, images):
+            parts = model.apply({"params": params}, images,
+                                mode="infer_parts")
+            contribs, bias = parts[:-1], parts[-1]
+            return fused_upsample_sigmoid_u8(
+                [c[..., 0] for c in contribs], bias[0],
+                out_hw=(images.shape[1], images.shape[2]),
+                factors=factors, interpret=interpret)
+
+        return infer
+
     mode = "infer" if fused_head else "train"
 
     @jax.jit

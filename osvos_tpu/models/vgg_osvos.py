@@ -85,9 +85,15 @@ class OSVOS(nn.Module):
         cutting full-resolution HBM traffic ~16x and skipping the unused
         score_dsn branches (the reference computes them at test time but
         only consumes outputs[-1], train_online.py:~135).
+
+        mode='infer_parts': returns the *pre-upsample* pieces for the Pallas
+        fused tail (ops/pallas/fused_head.py): ``[c_1..c_4, bias]`` where
+        ``c_i`` is the (N, h_i, w_i, 1) low-res fused contribution of side
+        branch i and ``bias`` the fuse bias — everything after this point
+        (upsample, crop, sum, sigmoid, uint8) happens inside one kernel.
         """
         cfg = self.config
-        assert mode in ("train", "infer"), mode
+        assert mode in ("train", "infer", "infer_parts"), mode
         dtype = self._compute_dtype()
         prec = self._precision()
         f32_prec = (lax.Precision.HIGHEST if cfg.compute_mode == "parity"
@@ -118,14 +124,17 @@ class OSVOS(nn.Module):
             factor = 2 ** i
             side_temp = conv(cfg.side_channels, 3, f"side_prep{i}")(x)
 
-            if mode == "infer":
+            if mode in ("infer", "infer_parts"):
                 # collapse to the fused channel at low res, then upsample
                 sl = slice((i - 1) * cfg.side_channels, i * cfg.side_channels)
                 w_i = fuse_kernel[0, 0, sl, :].astype(jnp.float32)
                 contrib = side_temp.astype(jnp.float32) @ w_i
-                fused_contribs.append(center_crop(
-                    bilinear_upsample(contrib, factor, precision=f32_prec,
-                                      method=up_method), crop_h, crop_w))
+                if mode == "infer_parts":
+                    fused_contribs.append(contrib)
+                else:
+                    fused_contribs.append(center_crop(
+                        bilinear_upsample(contrib, factor, precision=f32_prec,
+                                          method=up_method), crop_h, crop_w))
                 continue
 
             # 16-ch full-res feature for fusion
@@ -141,6 +150,9 @@ class OSVOS(nn.Module):
                 bilinear_upsample(score, factor,
                                   precision=lax.Precision.HIGHEST,
                                   method=up_method), crop_h, crop_w))
+
+        if mode == "infer_parts":
+            return fused_contribs + [fuse_bias]
 
         if mode == "infer":
             out = sum(fused_contribs) + fuse_bias

@@ -32,7 +32,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from osvos_tpu.configs import ModelConfig, OnlineConfig
-from osvos_tpu.train.online import make_fine_tune_fn
 
 
 def _pad_to(x: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -40,6 +39,26 @@ def _pad_to(x: jnp.ndarray, n: int) -> jnp.ndarray:
     if pad == 0:
         return x
     return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+
+
+def _host_pools(images, masks, cfg, pool_size: int, n_threads: int = 8):
+    """Per-sequence cv2 augmentation pools, built concurrently on the host.
+    Returns (S, P, H, W, 3), (S, P, H, W, 1) float32."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from osvos_tpu.train.online import build_host_pool
+
+    imgs_np = np.asarray(images)
+    masks_np = np.asarray(masks)
+
+    def one(i):
+        return build_host_pool(imgs_np[i], masks_np[i], cfg, pool_size,
+                               seed=cfg.seed + i)
+
+    with ThreadPoolExecutor(max_workers=n_threads) as ex:
+        pools = list(ex.map(one, range(imgs_np.shape[0])))
+    return (np.stack([p[0] for p in pools]),
+            np.stack([p[1] for p in pools]))
 
 
 def batched_fine_tune(
@@ -51,51 +70,93 @@ def batched_fine_tune(
     mesh: Optional[Mesh] = None,
     axis_name: str = "seq",
     stacked_params: bool = False,
-    **fine_tune_kw,
+    aug_mode: str = "pool",
+    pool_size: int = 100,
+    step_mode: str = "microbatch",
+    host_pool: bool = True,
 ) -> Tuple[object, jnp.ndarray]:
     """Fine-tune S sequences concurrently.
 
     params: one parent pytree (broadcast to all sequences), or — with
     ``stacked_params=True`` — an already-stacked (S, ...) pytree.
     Returns (stacked adapted params (S, ...), losses (S, n_steps)).
+
+    Long runs are dispatched in ``cfg.scan_chunk``-step chunks with the
+    stacked (params, opt_state) donated between dispatches, keeping each
+    remote execution bounded. Pools come from host cv2 (``host_pool=True``,
+    reference-exact interpolation) or the device warp.
     """
+    from osvos_tpu.train.online import (_augment_pool, make_chunk_fn,
+                                        make_online_optimizer)
+
     s = images.shape[0]
-    fine_tune = make_fine_tune_fn(model_config, cfg, **fine_tune_kw)
+
+    if aug_mode == "pool":
+        if host_pool:
+            pool_imgs, pool_masks = _host_pools(images, masks, cfg, pool_size)
+            pool_imgs = jnp.asarray(pool_imgs)
+            pool_masks = jnp.asarray(pool_masks)
+        else:
+            keys_pool = jax.random.split(jax.random.PRNGKey(cfg.seed + 7), s)
+            pool_imgs, pool_masks = jax.vmap(
+                lambda k, im, m: _augment_pool(k, im, m, cfg, pool_size)
+            )(keys_pool, jnp.asarray(images), jnp.asarray(masks))
+    else:
+        pool_imgs = jnp.asarray(images)[:, None]
+        pool_masks = jnp.asarray(masks)[:, None]
 
     if not stacked_params:
         params = jax.tree.map(lambda p: jnp.broadcast_to(p[None],
                                                          (s,) + p.shape),
                               params)
+    else:
+        params = jax.tree.map(jnp.array, params)  # donation safety
 
-    keys = jax.random.split(jax.random.PRNGKey(cfg.seed), s)
+    tx_template = make_online_optimizer(jax.tree.map(lambda p: p[0], params),
+                                        cfg, step_mode)
+    opt_state = jax.vmap(tx_template.init)(params)
+
+    seq_keys = jax.random.split(jax.random.PRNGKey(cfg.seed), s)
+    step_keys = jax.vmap(lambda k: jax.random.split(k, cfg.n_steps))(seq_keys)
 
     s_padded = s
     if mesh is not None:
         n_dev = mesh.devices.size
         s_padded = -(-s // n_dev) * n_dev
         params = jax.tree.map(lambda p: _pad_to(p, s_padded), params)
-        images = _pad_to(images, s_padded)
-        masks = _pad_to(masks, s_padded)
-        keys = _pad_to(keys, s_padded)
+        opt_state = jax.tree.map(lambda p: _pad_to(p, s_padded), opt_state)
+        pool_imgs = _pad_to(pool_imgs, s_padded)
+        pool_masks = _pad_to(pool_masks, s_padded)
+        step_keys = _pad_to(step_keys, s_padded)
 
-    vmapped = jax.vmap(fine_tune, in_axes=(0, 0, 0, 0))
+    chunk = make_chunk_fn(model_config, cfg, aug_mode=aug_mode,
+                          step_mode=step_mode)
+    vmapped = jax.vmap(chunk, in_axes=(0, 0, 0, 0, 0))
 
     if mesh is not None:
         spec = P(axis_name)
         mapped = jax.shard_map(
             vmapped, mesh=mesh,
-            in_specs=(spec, spec, spec, spec),
-            out_specs=(spec, spec))
+            in_specs=(spec, spec, spec, spec, spec),
+            out_specs=(spec, spec, spec))
         shard = NamedSharding(mesh, spec)
         params = jax.device_put(params, shard)
-        images = jax.device_put(images, shard)
-        masks = jax.device_put(masks, shard)
-        keys = jax.device_put(keys, shard)
-        fn = jax.jit(mapped, donate_argnums=(0,))
+        opt_state = jax.device_put(opt_state, shard)
+        pool_imgs = jax.device_put(pool_imgs, shard)
+        pool_masks = jax.device_put(pool_masks, shard)
+        step_keys = jax.device_put(step_keys, shard)
+        fn = jax.jit(mapped, donate_argnums=(0, 1))
     else:
-        fn = jax.jit(vmapped, donate_argnums=(0,))
+        fn = jax.jit(vmapped, donate_argnums=(0, 1))
 
-    new_params, losses = fn(params, images, masks, keys)
+    chunk_len = max(1, getattr(cfg, "scan_chunk", 250))
+    losses = []
+    for start in range(0, cfg.n_steps, chunk_len):
+        k = step_keys[:, start:start + chunk_len]
+        params, opt_state, l = fn(params, opt_state, pool_imgs, pool_masks, k)
+        losses.append(l)
+    new_params = params
+    losses = jnp.concatenate(losses, axis=1)
     if s_padded != s:
         new_params = jax.tree.map(lambda p: p[:s], new_params)
         losses = losses[:s]

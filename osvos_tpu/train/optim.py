@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Mapping, NamedTuple, Optional
 
 import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -57,16 +58,6 @@ def param_group_label(path) -> str:
     raise ValueError(f"unlabelled parameter {path}")
 
 
-def _torch_sgd(lr: float, momentum: float, weight_decay: float):
-    txs = []
-    if weight_decay:
-        txs.append(optax.add_decayed_weights(weight_decay))
-    if momentum:
-        txs.append(optax.trace(decay=momentum, nesterov=False))
-    txs.append(optax.scale(-lr))
-    return optax.chain(*txs)
-
-
 def make_osvos_optimizer(
     params,
     base_lr: float,
@@ -75,16 +66,46 @@ def make_osvos_optimizer(
     n_ave_grad: int = 1,
     groups: Optional[Mapping[str, GroupSpec]] = None,
 ) -> optax.GradientTransformation:
-    """Build the reference-faithful grouped SGD for an OSVOS param pytree."""
+    """Build the reference-faithful grouped SGD for an OSVOS param pytree.
+
+    Implemented as ONE tree traversal with static per-leaf (lr, wd)
+    multipliers rather than ``optax.multi_transform`` over 8 masked
+    sub-transforms — multi_transform walks the full tree once per group
+    (8x the HBM traffic on a 55M-param model; it alone cost ~100 ms/step
+    in the jit'd online loop). Per-leaf semantics are torch SGD exactly:
+    ``g += wd*p; buf = mu*buf + g; p -= lr*buf``.
+    """
     groups = groups or REFERENCE_GROUPS
-    labels = jax.tree_util.tree_map_with_path(
-        lambda path, _: param_group_label(path), params)
-    transforms = {
-        name: _torch_sgd(base_lr * spec.lr_mult, momentum,
-                         weight_decay * spec.weight_decay)
-        for name, spec in groups.items()
-    }
-    tx = optax.multi_transform(transforms, labels)
+
+    lr_tree = jax.tree_util.tree_map_with_path(
+        lambda path, _: base_lr * groups[param_group_label(path)].lr_mult,
+        params)
+    wd_tree = jax.tree_util.tree_map_with_path(
+        lambda path, _: (weight_decay
+                         * groups[param_group_label(path)].weight_decay),
+        params)
+
+    def init_fn(params):
+        return optax.TraceState(
+            trace=jax.tree.map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        assert params is not None, "grouped SGD needs params (weight decay)"
+
+        def leaf(g, buf, p, lr, wd):
+            g = g + wd * p if wd else g
+            buf = momentum * buf + g
+            return -lr * buf, buf
+
+        out = jax.tree.map(leaf, updates, state.trace, params, lr_tree,
+                           wd_tree)
+        new_updates = jax.tree.map(lambda o: o[0], out,
+                                   is_leaf=lambda x: isinstance(x, tuple))
+        new_trace = jax.tree.map(lambda o: o[1], out,
+                                 is_leaf=lambda x: isinstance(x, tuple))
+        return new_updates, optax.TraceState(trace=new_trace)
+
+    tx = optax.GradientTransformation(init_fn, update_fn)
     if n_ave_grad > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=n_ave_grad)
     return tx

@@ -46,6 +46,10 @@ def main() -> None:
                     help="reduced-width model (smoke tests / CPU dev "
                          "shells; checkpoints are not interchangeable "
                          "with the full model)")
+    ap.add_argument("--vis_net", action="store_true",
+                    help="dump the traced forward graph to "
+                         "<save_root>/net.dot (reference train_parent.py "
+                         "vis_net flag / util/visualize.make_dot)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -82,6 +86,18 @@ def main() -> None:
              if args.vgg_npz else None)
     params = init_osvos_params(jax.random.PRNGKey(args.seed), model_config,
                                trunk_weights=trunk)
+
+    if args.vis_net:
+        import jax.numpy as jnp
+
+        from osvos_tpu.models import OSVOS
+        from osvos_tpu.utils.visualize import make_dot, save_dot
+
+        model = OSVOS(model_config)
+        dot = make_dot(lambda p, v: model.apply({"params": p}, v),
+                       params, jnp.zeros((1, 64, 112, 3), jnp.float32))
+        print("net graph ->",
+              save_dot(dot, os.path.join(save_root, "net.dot")), flush=True)
 
     n_dp = args.data_parallel or len(jax.devices())
     mesh = make_mesh("data", n_devices=n_dp) if n_dp > 1 else None

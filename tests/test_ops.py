@@ -171,3 +171,27 @@ def test_bilinear_upsample_matmul_equals_conv(rng, factor, ch):
     b = np.asarray(bilinear_upsample(jnp.asarray(x), factor, method="matmul"))
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+@pytest.mark.parametrize("hw", [(65, 97), (64, 96), (33, 49)])
+def test_max_pool_ceil_grad_matches_torch(rng, hw):
+    """Custom-VJP elementwise pool backward == torch MaxPool2d backward,
+    including row-major-first tie routing (exercised via quantized inputs
+    that create exact ties)."""
+    import torch
+
+    from osvos_tpu.ops.pool import max_pool_ceil
+
+    h, w = hw
+    # quantize so windows contain exact ties
+    x = np.round(rng.randn(1, h, w, 3) * 2).astype(np.float32) / 2
+    g = rng.randn(1, (h + 1) // 2, (w + 1) // 2, 3).astype(np.float32)
+
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2))).requires_grad_(True)
+    yt = torch.nn.functional.max_pool2d(xt, 2, 2, ceil_mode=True)
+    yt.backward(torch.from_numpy(np.transpose(g, (0, 3, 1, 2))))
+    want = np.transpose(xt.grad.numpy(), (0, 2, 3, 1))
+
+    got = jax.grad(
+        lambda v: jnp.sum(max_pool_ceil(v) * jnp.asarray(g)))(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)

@@ -49,3 +49,25 @@ def test_cbbce_pallas_extreme_logits_finite(rng):
                                                    False, True, True)
     assert np.isfinite(float(got))
     np.testing.assert_allclose(float(got), float(want), rtol=2e-6)
+
+
+@pytest.mark.parametrize("hw", [(65, 97), (64, 96)])
+def test_fused_tail_kernel_matches_xla_infer(rng, hw):
+    """Pallas upsample+fuse+sigmoid+uint8 tail == the XLA infer path
+    (interpret mode on CPU; make_infer_fn auto-enables it on TPU)."""
+    from osvos_tpu.configs import ModelConfig
+    from osvos_tpu.evaluation.infer import make_infer_fn
+    from osvos_tpu.models import init_osvos_params
+
+    TINY = ModelConfig(stages=((4, 4), (6, 6), (8, 8, 8), (8, 8, 8),
+                               (8, 8, 8)), side_channels=4)
+    params = init_osvos_params(jax.random.PRNGKey(2), TINY, input_hw=(32, 48))
+    h, w = hw
+    x = jnp.asarray(rng.randn(2, h, w, 3).astype(np.float32) * 40)
+
+    xla = make_infer_fn(TINY, pallas_tail=False)(params, x)
+    pal = make_infer_fn(TINY, pallas_tail=True)(params, x)
+    assert pal.shape == xla.shape == (2, h, w) and pal.dtype == jnp.uint8
+    # identical math, different op order: allow 1 quantization level
+    diff = np.abs(np.asarray(pal).astype(int) - np.asarray(xla).astype(int))
+    assert diff.max() <= 1, diff.max()

@@ -45,20 +45,31 @@ def test_eight_virtual_devices_present():
 
 
 def test_batched_fine_tune_matches_sequential(tiny_params, rng):
-    """vmapped+sharded adaptation == per-sequence fine-tune, bitwise-close."""
+    """vmapped+sharded+chunked adaptation == running the same chunk fn one
+    sequence at a time with identical pools and key streams."""
+    from osvos_tpu.parallel.batched_online import _host_pools
+    from osvos_tpu.train.online import make_chunk_fn, make_online_optimizer
+
     imgs, masks = _pairs(rng, 2)
-    cfg = OnlineConfig(n_steps=3, n_ave_grad=2, lr=1e-5)
+    cfg = OnlineConfig(n_steps=4, n_ave_grad=2, lr=1e-5, scan_chunk=2)
 
     mesh = make_mesh("seq", n_devices=2)
     stacked, losses = batched_fine_tune(
         tiny_params, imgs, masks, TINY, cfg, mesh=mesh, aug_mode="pool",
         pool_size=4)
-    assert losses.shape == (2, 3)
+    assert losses.shape == (2, 4)
 
-    ft = make_fine_tune_fn(TINY, cfg, aug_mode="pool", pool_size=4)
-    keys = jax.random.split(jax.random.PRNGKey(cfg.seed), 2)
+    # reference: same machinery, one sequence at a time, single dispatch
+    pool_i, pool_m = _host_pools(imgs, masks, cfg, 4)
+    chunk = jax.jit(make_chunk_fn(TINY, cfg))
+    seq_keys = jax.random.split(jax.random.PRNGKey(cfg.seed), 2)
     for i in range(2):
-        p_i, l_i = jax.jit(ft)(tiny_params, imgs[i], masks[i], keys[i])
+        p = jax.tree.map(jnp.array, tiny_params)
+        tx = make_online_optimizer(p, cfg, "microbatch")
+        st = tx.init(p)
+        keys_i = jax.random.split(seq_keys[i], cfg.n_steps)
+        p_i, _, l_i = chunk(p, st, jnp.asarray(pool_i[i]),
+                            jnp.asarray(pool_m[i]), keys_i)
         np.testing.assert_allclose(np.asarray(losses[i]), np.asarray(l_i),
                                    rtol=1e-4, err_msg=f"seq {i} losses")
         got = unstack_params(stacked, i)

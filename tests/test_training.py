@@ -195,3 +195,30 @@ def test_checkpoint_roundtrip_with_multisteps_opt_state(tiny_params, tmp_path):
     assert len(la) == len(lb) and len(la) > 0
     for a, b in zip(la, lb):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_microbatch_step_equals_sequential_accumulation(tiny_params, rng):
+    """One batched n_ave_grad-sample step == n_ave_grad accumulate-then-step
+    microsteps (identical mean gradient and SGD timing). With pool_size=1
+    and no flips every draw is the identity sample, so the two regimes see
+    the same data and must produce near-identical trajectories."""
+    from osvos_tpu.train.online import make_fine_tune_fn
+
+    img, mask = _synthetic_pair(rng)
+    cfg = OnlineConfig(n_steps=3, n_ave_grad=3, lr=1e-5, hflip_prob=0.0)
+    key = jax.random.PRNGKey(0)
+
+    outs = {}
+    for mode in ("microbatch", "sequential"):
+        ft = make_fine_tune_fn(TINY, cfg, aug_mode="pool", pool_size=1,
+                               step_mode=mode)
+        p = jax.tree.map(jnp.array, tiny_params)
+        outs[mode] = jax.jit(ft)(p, jnp.asarray(img), jnp.asarray(mask), key)
+
+    p_mb, l_mb = outs["microbatch"]
+    p_sq, l_sq = outs["sequential"]
+    np.testing.assert_allclose(np.asarray(l_mb), np.asarray(l_sq), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p_mb),
+                    jax.tree_util.tree_leaves(p_sq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-7)

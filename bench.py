@@ -28,7 +28,7 @@ BASELINE_FPS = 8.7  # reference: ~115 ms/frame 480p on Titan X (BASELINE.md)
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=854)
     ap.add_argument("--warmup", type=int, default=3)

@@ -64,7 +64,10 @@ def _tail_kernel(n_scales):
             acc = term if acc is None else acc + term
         logits = acc + bias_ref[0, 0]
         probs = jax.nn.sigmoid(logits)
-        out_ref[0] = jnp.round(255.0 * probs).astype(jnp.uint8)
+        # Mosaic has no direct f32->u8 cast; round to i32 first (values are
+        # in [0, 255], so the u8 truncation is exact).
+        quant = jnp.round(255.0 * probs).astype(jnp.int32)
+        out_ref[0] = quant.astype(jnp.uint8)
 
     return kernel
 

@@ -51,6 +51,9 @@ def main() -> None:
     ap.add_argument("--eval", action="store_true",
                     help="compute in-repo DAVIS J/F for the sequence(s)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--profile_dir", default=None,
+                    help="capture a jax.profiler device trace here "
+                         "(perfetto/XProf-compatible)")
     args = ap.parse_args()
 
     import jax
@@ -96,10 +99,13 @@ def main() -> None:
         train_ds = DAVIS2016(train=True, db_root_dir=db_root,
                              seq_name=seq_name, data_config=data_cfg)
         img, gt = train_ds.make_img_gt_pair(0)
+        from osvos_tpu.utils.profiling import annotate, device_trace
+
         t0 = time.perf_counter()
-        result = run_online(parent_params, img, gt[..., None], model_config,
-                            ocfg, aug_mode=args.aug_mode)
-        jax.block_until_ready(result.params)
+        with device_trace(args.profile_dir), annotate(f"fine_tune/{seq_name}"):
+            result = run_online(parent_params, img, gt[..., None],
+                                model_config, ocfg, aug_mode=args.aug_mode)
+            jax.block_until_ready(result.params)
         ft_time = time.perf_counter() - t0
 
         test_ds = DAVIS2016(train=False, db_root_dir=db_root,

@@ -75,6 +75,30 @@ def class_balanced_cross_entropy_loss(
     return final_loss
 
 
+def class_balanced_cross_entropy_loss_per_sample(
+    output: jnp.ndarray,
+    label: jnp.ndarray,
+) -> jnp.ndarray:
+    """(B,) per-sample class-balanced BCE (sum normalization per sample).
+
+    Equals ``class_balanced_cross_entropy_loss(o[b:b+1], l[b:b+1],
+    size_average=False)`` for each b, computed with batch-preserving axis
+    reductions so it shards cleanly over a data-parallel mesh (no
+    cross-shard slicing). ``mean()`` of this over a batch of n equals the
+    reference's accumulate-``loss/nAveGrad``-over-n regime exactly.
+    """
+    logits = output.astype(jnp.float32)
+    labels = (label.astype(jnp.float32) >= 0.5).astype(jnp.float32)
+    axes = tuple(range(1, logits.ndim))
+    num_pos = jnp.sum(labels, axis=axes)
+    num_neg = jnp.sum(1.0 - labels, axis=axes)
+    num_total = num_pos + num_neg
+    loss_pos = jnp.sum(labels * -jax.nn.log_sigmoid(logits), axis=axes)
+    loss_neg = jnp.sum((1.0 - labels) * -jax.nn.log_sigmoid(-logits),
+                       axis=axes)
+    return num_neg / num_total * loss_pos + num_pos / num_total * loss_neg
+
+
 def class_balanced_cross_entropy_loss_theoretical(
     output: jnp.ndarray,
     label: jnp.ndarray,

@@ -56,7 +56,8 @@ from jax import lax
 
 from osvos_tpu.configs import ModelConfig, OnlineConfig
 from osvos_tpu.models.vgg_osvos import OSVOS
-from osvos_tpu.ops.loss import class_balanced_cross_entropy_loss
+from osvos_tpu.ops.loss import (class_balanced_cross_entropy_loss,
+                                class_balanced_cross_entropy_loss_per_sample)
 from osvos_tpu.ops.warp import scale_n_rotate
 from osvos_tpu.train.optim import make_osvos_optimizer
 
@@ -173,15 +174,11 @@ def make_chunk_fn(
             return params, opt_state, losses
 
         def loss_batch(p, imgs, ms):
-            # per-sample class balance, summed then /n — identical to the
+            # mean of per-sample class-balanced losses — identical to the
             # reference's accumulate-grads-of-(loss_i/n) (train_online.py).
-            outs = model.apply({"params": p}, imgs, mode="infer")[-1]
-            total = 0.0
-            for i in range(cfg.n_ave_grad):
-                total = total + class_balanced_cross_entropy_loss(
-                    outs[i:i + 1], ms[i:i + 1].astype(jnp.float32),
-                    size_average=False, impl=impl)
-            return total / cfg.n_ave_grad
+            out = model.apply({"params": p}, imgs, mode="infer")[-1]
+            return class_balanced_cross_entropy_loss_per_sample(
+                out, ms.astype(jnp.float32)).mean()
 
         def step(carry, skey):
             params, opt_state = carry

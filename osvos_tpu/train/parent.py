@@ -32,21 +32,28 @@ from osvos_tpu.data.davis import DAVIS2016, iterate_batches
 from osvos_tpu.data.transforms import (Compose, RandomHorizontalFlip, Resize,
                                        ScaleNRotate, ToArray)
 from osvos_tpu.models.vgg_osvos import OSVOS
-from osvos_tpu.ops.loss import class_balanced_cross_entropy_loss
+from osvos_tpu.ops.loss import (class_balanced_cross_entropy_loss,
+                                class_balanced_cross_entropy_loss_per_sample)
 from osvos_tpu.train.optim import make_osvos_optimizer
 
 
 def make_parent_train_step(model_config: ModelConfig, cfg: ParentConfig):
     """Build ``step(params, opt_state, batch, side_weight) ->
     (params, opt_state, metrics)``; ``side_weight`` is the annealed
-    ``1 - epoch/nEpochs`` deep-supervision factor."""
+    ``1 - epoch/nEpochs`` deep-supervision factor.
+
+    Class balance is PER SAMPLE, averaged over the batch: the reference
+    always computes the loss on batch-1 samples and accumulates
+    ``loss/nAveGrad`` over nAveGrad of them (train_parent.py:~120-130), so
+    a batch-nAveGrad step with mean-of-per-sample-losses produces the
+    identical gradient and momentum timing — run ``batch_size=n_ave_grad,
+    n_ave_grad=1`` for the reference regime at full MXU batch efficiency."""
     model = OSVOS(model_config)
 
     def loss_fn(params, images, gts, side_weight):
         outs = model.apply({"params": params}, images)
-        losses = [class_balanced_cross_entropy_loss(
-            o, gts, size_average=False,
-            impl=getattr(cfg, "loss_impl", "xla")) for o in outs]
+        losses = [class_balanced_cross_entropy_loss_per_sample(o, gts).mean()
+                  for o in outs]
         total = side_weight * sum(losses[:-1]) + losses[-1]
         return total, jnp.stack(losses)
 

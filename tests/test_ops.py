@@ -195,3 +195,17 @@ def test_max_pool_ceil_grad_matches_torch(rng, hw):
     got = jax.grad(
         lambda v: jnp.sum(max_pool_ceil(v) * jnp.asarray(g)))(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+def test_per_sample_cb_bce_equals_sliced(rng):
+    from osvos_tpu.ops.loss import (class_balanced_cross_entropy_loss,
+                                    class_balanced_cross_entropy_loss_per_sample)
+
+    logits = jnp.asarray(rng.randn(4, 17, 23, 1).astype(np.float32) * 5)
+    labels = jnp.asarray((rng.rand(4, 17, 23, 1) > 0.7).astype(np.float32))
+    per = np.asarray(class_balanced_cross_entropy_loss_per_sample(logits,
+                                                                  labels))
+    for b in range(4):
+        want = float(class_balanced_cross_entropy_loss(
+            logits[b:b + 1], labels[b:b + 1], size_average=False))
+        np.testing.assert_allclose(per[b], want, rtol=1e-6)

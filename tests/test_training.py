@@ -222,3 +222,26 @@ def test_microbatch_step_equals_sequential_accumulation(tiny_params, rng):
                     jax.tree_util.tree_leaves(p_sq)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-7)
+
+
+def test_parent_batch_step_equals_accumulated_singles(tiny_params, rng):
+    """ONE batch-n parent step (per-sample balanced losses, mean) must equal
+    n accumulated batch-1 steps with MultiSteps — the reference's
+    batch=1 + nAveGrad regime at full batch efficiency."""
+    n = 3
+    imgs = np.stack([_synthetic_pair(rng)[0] for _ in range(n)])
+    masks = np.stack([_synthetic_pair(rng)[1] for _ in range(n)])
+
+    cfg_b = ParentConfig(batch_size=n, n_ave_grad=1, lr=1e-5)
+    t_b = ParentTrainer(tiny_params, TINY, cfg_b)
+    t_b.train_step(imgs, masks, side_weight=1.0)
+
+    cfg_s = ParentConfig(batch_size=1, n_ave_grad=n, lr=1e-5)
+    t_s = ParentTrainer(tiny_params, TINY, cfg_s)
+    for b in range(n):
+        t_s.train_step(imgs[b:b + 1], masks[b:b + 1], side_weight=1.0)
+
+    for a, b in zip(jax.tree_util.tree_leaves(t_b.params),
+                    jax.tree_util.tree_leaves(t_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-8)

@@ -45,8 +45,6 @@ def make_infer_fn(model_config: ModelConfig, fused_head: bool = True,
         pallas_tail = jax.default_backend() == "tpu"
 
     if fused_head and pallas_tail:
-        import numpy as _np
-
         from osvos_tpu.ops.pallas.fused_head import fused_upsample_sigmoid_u8
 
         factors = [2 ** i for i in range(1, len(model_config.stages))]
@@ -75,19 +73,54 @@ def make_infer_fn(model_config: ModelConfig, fused_head: bool = True,
     return infer
 
 
+def make_sharded_infer_fn(model_config: ModelConfig, mesh,
+                          axis_name: str = "data") -> Callable:
+    """Frame-parallel inference: the batch axis sharded across ``mesh``
+    (SURVEY.md §2 parallelism table — frames of a sequence are independent,
+    so this is collective-free shard_map over the same per-device program).
+    Batch size must be a multiple of the mesh size; ``infer_sequence``'s
+    padding guarantees that when ``batch_size`` is.
+    """
+    import jax.numpy as _jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    per_device = make_infer_fn(model_config)
+    spec = P(axis_name)
+    mapped = jax.shard_map(lambda p, x: per_device(p, x), mesh=mesh,
+                           in_specs=(P(), spec), out_specs=spec)
+    shard = NamedSharding(mesh, spec)
+    repl = NamedSharding(mesh, P())
+    jitted = jax.jit(mapped)
+
+    def infer(params, images):
+        params = jax.device_put(params, repl)
+        images = jax.device_put(_jnp.asarray(images), shard)
+        return jitted(params, images)
+
+    return infer
+
+
 def infer_sequence(
     params,
     frames: Sequence[np.ndarray],
     model_config: ModelConfig = ModelConfig(),
     batch_size: int = 4,
     infer_fn: Optional[Callable] = None,
+    mesh=None,
 ) -> List[np.ndarray]:
     """Run the model over preprocessed frames; returns uint8 (H, W) maps.
 
     Pads the trailing batch to ``batch_size`` so a single compiled program
-    serves any sequence length.
+    serves any sequence length. With ``mesh``, frames are sharded across
+    the devices (batch_size must be a multiple of the mesh size).
     """
-    infer = infer_fn or make_infer_fn(model_config)
+    if infer_fn is not None:
+        infer = infer_fn
+    elif mesh is not None:
+        assert batch_size % mesh.devices.size == 0, (batch_size, mesh)
+        infer = make_sharded_infer_fn(model_config, mesh)
+    else:
+        infer = make_infer_fn(model_config)
     out: List[np.ndarray] = []
     n = len(frames)
     for start in range(0, n, batch_size):

@@ -82,3 +82,19 @@ def test_helpers_roundtrip(rng):
 def test_missing_split_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         DAVIS2016(train=True, db_root_dir=str(tmp_path / "nope"))
+
+
+def test_packaged_davis_2016_splits():
+    """The packaged standard DAVIS-2016 splits ship with the library and are
+    used as the last-resort fallback (reference expects train_seqs.txt /
+    val_seqs.txt at the DAVIS root, davis_2016.py:~35)."""
+    import os
+
+    from osvos_tpu.data.davis import _read_split
+
+    root = os.path.join(os.path.dirname(__file__), "nonexistent-davis-root")
+    train = _read_split(root, train=True, year="2016")
+    val = _read_split(root, train=False, year="2016")
+    assert len(train) == 30 and len(val) == 20
+    assert "blackswan" in val and "bear" in train
+    assert not set(train) & set(val)

@@ -120,3 +120,20 @@ def test_parent_trainer_data_parallel_matches_single(tiny_params, rng):
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-7)
+
+
+def test_frame_parallel_infer_matches_single_device(tiny_params, rng):
+    """Frame-sharded inference (shard_map over the batch axis) must equal
+    the single-device path."""
+    from osvos_tpu.evaluation.infer import (infer_sequence,
+                                            make_sharded_infer_fn)
+
+    imgs, _ = _pairs(rng, 8)
+    frames = [np.asarray(imgs[i]) for i in range(8)]
+    mesh = make_mesh("data", n_devices=4)
+    got = infer_sequence(tiny_params, frames, TINY, batch_size=4, mesh=mesh)
+    want = infer_sequence(tiny_params, frames, TINY, batch_size=4)
+    assert len(got) == len(want) == 8
+    for g, w in zip(got, want):
+        assert g.shape == w.shape
+        assert (np.abs(g.astype(int) - w.astype(int)) <= 1).all()

@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model+shape smoke run (CPU dev shells)")
+    ap.add_argument("--compute_mode", default="int8",
+                    choices=["fast", "parity", "int8"])
     args = ap.parse_args()
 
     import numpy as np
@@ -49,13 +51,25 @@ def main() -> None:
     if args.tiny:
         config = ModelConfig(stages=((8, 8), (12, 12), (16, 16, 16),
                                      (16, 16, 16), (16, 16, 16)),
-                             side_channels=8, compute_mode="fast")
+                             side_channels=8,
+                             compute_mode=args.compute_mode)
         args.height, args.width, args.batch = 64, 112, 2
     else:
-        config = ModelConfig(compute_mode="fast")
+        config = ModelConfig(compute_mode=args.compute_mode)
 
     params = init_osvos_params(jax.random.PRNGKey(0), config,
                                input_hw=(64, 112))
+    if args.compute_mode == "int8":
+        # static activation scales from a quick self-calibration pass
+        from osvos_tpu.models.quantize import calibrate_int8_scales
+
+        rng_cal = np.random.RandomState(1)
+        cal = jnp.asarray(rng_cal.randn(2, args.height, args.width, 3)
+                          .astype(np.float32) * 30)
+        import dataclasses as _dc
+
+        config = _dc.replace(
+            config, int8_scales=calibrate_int8_scales(params, cal, config))
     infer = make_infer_fn(config)
 
     rng = np.random.RandomState(0)

@@ -41,7 +41,15 @@ class ModelConfig:
     side_channels: int = 16
     # 'parity'  -> float32 + HIGHEST conv precision (matches torch bit-closely)
     # 'fast'    -> bfloat16 compute, float32 params (TPU MXU path)
+    # 'int8'    -> inference-only: trunk convs on the int8 MXU path
+    #              (per-channel weight + per-tensor activation
+    #              quantization); everything else as 'fast'
     compute_mode: str = "parity"
+    # Static per-trunk-conv activation scales for int8 mode, in
+    # stage_conv_names order (from models.quantize.calibrate_int8_scales).
+    # None -> dynamic per-batch max|x| quantization (exact but pays a full
+    # activation reduction per conv: ~476 vs ~664 f/s at 480p batch 32).
+    int8_scales: Optional[Tuple[float, ...]] = None
     # Keep the frozen bilinear upsampling as a fixed function (TPU-native;
     # the reference stores them as ConvTranspose2d params trained at lr=0,
     # train_parent.py:~75 — numerically identical since they never change).

@@ -38,6 +38,48 @@ from osvos_tpu.ops.pool import max_pool_ceil
 from osvos_tpu.ops.upsample import bilinear_upsample
 
 
+class _Int8Conv(nn.Module):
+    """3x3 conv computed on the int8 MXU path: float32 params with
+    nn.Conv-compatible names/shapes (checkpoints interchange freely),
+    per-output-channel symmetric weight quantization at trace time, and
+    per-tensor activation quantization — static (``act_scale`` from
+    calibration, models/quantize.py) or dynamic (per-batch max|x|; exact
+    but pays one full activation reduction per conv). Accumulates in int32
+    and dequantizes into ``out_dtype``. Inference-only — no gradient flows
+    through the rounding.
+    """
+
+    features: int
+    kernel_size: int = 3
+    out_dtype: jnp.dtype = jnp.bfloat16
+    act_scale: Optional[float] = None  # max|x|-scale; None -> dynamic
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        in_feats = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, in_feats, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        # weights: symmetric per-output-channel
+        w_scale = jnp.max(jnp.abs(kernel), axis=(0, 1, 2), keepdims=True) \
+            / 127.0 + 1e-30
+        w_q = jnp.clip(jnp.round(kernel / w_scale), -127, 127).astype(jnp.int8)
+        if self.act_scale is not None:
+            x_scale = jnp.float32(self.act_scale / 127.0)
+        else:
+            x_scale = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0 + 1e-30
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale),
+                       -127, 127).astype(jnp.int8)
+        acc = lax.conv_general_dilated(
+            x_q, w_q, (1, 1), ((k // 2, k // 2), (k // 2, k // 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * (x_scale * w_scale[0, 0, 0]) + bias
+        return out.astype(self.out_dtype)
+
+
 class _Conv1x1Params(nn.Module):
     """Bare (kernel, bias) for a 1x1 conv, with nn.Conv-compatible tree
     layout — lets the fused inference head slice the fuse kernel per side
@@ -68,6 +110,11 @@ class OSVOS(nn.Module):
     def _compute_dtype(self):
         return (jnp.float32 if self.config.compute_mode == "parity"
                 else jnp.bfloat16)
+
+    def _use_int8(self, in_feats: int) -> bool:
+        # int8 trunk: quantize only the lane-saturating convs; the 3-channel
+        # stem conv stays bf16 (negligible FLOPs, large relative error).
+        return self.config.compute_mode == "int8" and in_feats >= 8
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mode: str = "train") -> List[jnp.ndarray]:
@@ -106,13 +153,26 @@ class OSVOS(nn.Module):
             feats, (k, k), padding=((k // 2, k // 2), (k // 2, k // 2)),
             dtype=dtype, param_dtype=jnp.float32, precision=prec, name=name)
 
+        trunk_idx = [0]  # position in stage_conv_names order
+
+        def trunk_conv(v, feats, name):
+            idx = trunk_idx[0]
+            trunk_idx[0] += 1
+            if self._use_int8(v.shape[-1]):
+                scale = (cfg.int8_scales[idx]
+                         if cfg.int8_scales is not None else None)
+                return _Int8Conv(features=feats, kernel_size=3,
+                                 out_dtype=dtype, act_scale=scale,
+                                 name=name)(v)
+            return conv(feats, 3, name)(v)
+
         n_sides = len(cfg.stages) - 1
         fuse_kernel, fuse_bias = _Conv1x1Params(
             in_features=n_sides * cfg.side_channels, name="fuse")()
 
         # Stage 1 (no pooling before it).
         for j, width in enumerate(cfg.stages[0]):
-            x = nn.relu(conv(width, 3, f"stage1_conv{j}")(x))
+            x = nn.relu(trunk_conv(x, width, f"stage1_conv{j}"))
 
         side_feats: List[jnp.ndarray] = []
         side_logits: List[jnp.ndarray] = []
@@ -120,7 +180,7 @@ class OSVOS(nn.Module):
         for i, widths in enumerate(cfg.stages[1:], start=1):
             x = max_pool_ceil(x)
             for j, width in enumerate(widths):
-                x = nn.relu(conv(width, 3, f"stage{i + 1}_conv{j}")(x))
+                x = nn.relu(trunk_conv(x, width, f"stage{i + 1}_conv{j}"))
             factor = 2 ** i
             side_temp = conv(cfg.side_channels, 3, f"side_prep{i}")(x)
 

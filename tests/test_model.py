@@ -103,3 +103,41 @@ def test_infer_mode_matches_train_fused_output(ported_params, rng, hw):
     scale = float(np.abs(np.asarray(train_out)).max()) + 1e-6
     np.testing.assert_allclose(np.asarray(infer_out[0]),
                                np.asarray(train_out), atol=2e-4 * scale)
+
+
+def test_int8_mode_close_to_parity(ported_params, rng):
+    """int8 trunk inference: same params, bounded deviation from the f32
+    fused output and >=99% mask-pixel agreement at the 0.5 threshold."""
+    x = (rng.randn(1, 33, 49, 3) * 20).astype(np.float32)
+    parity = OSVOS(ModelConfig(compute_mode="parity"))
+    int8 = OSVOS(ModelConfig(compute_mode="int8"))
+    o1 = np.asarray(parity.apply({"params": ported_params},
+                                 jnp.asarray(x))[-1])
+    o8 = np.asarray(int8.apply({"params": ported_params}, jnp.asarray(x),
+                               mode="infer")[-1])
+    denom = float(np.abs(o1).max()) + 1e-6
+    rel = float(np.abs(o1 - o8).max()) / denom
+    assert rel < 0.35, rel  # logit deviation bounded
+    agree = np.mean((o1 > 0) == (o8 > 0))
+    assert agree >= 0.99, agree
+
+
+def test_int8_static_scales_close_to_dynamic(ported_params, rng):
+    """Calibrated static scales must track dynamic-max quantization."""
+    import dataclasses
+
+    from osvos_tpu.models.quantize import calibrate_int8_scales
+
+    x = (rng.randn(2, 33, 49, 3) * 20).astype(np.float32)
+    scales = calibrate_int8_scales(ported_params, jnp.asarray(x))
+    assert len(scales) == 13 and all(s > 0 for s in scales)
+
+    dyn = OSVOS(ModelConfig(compute_mode="int8"))
+    sta = OSVOS(dataclasses.replace(ModelConfig(compute_mode="int8"),
+                                    int8_scales=scales))
+    o_d = np.asarray(dyn.apply({"params": ported_params}, jnp.asarray(x),
+                               mode="infer")[-1])
+    o_s = np.asarray(sta.apply({"params": ported_params}, jnp.asarray(x),
+                               mode="infer")[-1])
+    denom = float(np.abs(o_d).max()) + 1e-6
+    assert float(np.abs(o_d - o_s).max()) / denom < 0.2

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from osvos_tpu.configs import ModelConfig
 from osvos_tpu.models.vgg_osvos import OSVOS, stage_conv_names
-from osvos_tpu.ops.upsample import bilinear_filter
+from osvos_tpu.ops.upsample import (bilinear_filter,
+                                    interp_surgery_weights)
 
 
 def _oihw_to_hwio(w: np.ndarray) -> np.ndarray:
@@ -129,12 +130,7 @@ def load_torch_state_dict(
                 if src not in state:
                     continue
                 w = np.asarray(state[src], np.float32)
-                k = w.shape[-1]
-                filt = bilinear_filter(k)
-                c = w.shape[0]
-                want = np.zeros_like(w)
-                for ch in range(c):
-                    want[ch, ch] = filt
+                want = interp_surgery_weights(w.shape[0], w.shape[-1])
                 if not np.allclose(w, want, atol=1e-5):
                     raise ValueError(
                         f"{src} deviates from the frozen bilinear kernel; "

@@ -35,6 +35,19 @@ def bilinear_filter(size: int) -> np.ndarray:
     return filt.astype(np.float32)
 
 
+def interp_surgery_weights(channels: int, size: int) -> np.ndarray:
+    """The reference's ``interp_surgery`` weight tensor
+    (layers/osvos_layers.py:~90): an OIHW (C, C, k, k) ConvTranspose2d
+    weight that is the bilinear kernel on the channel diagonal and zero
+    elsewhere. Exposed for API parity and checkpoint verification — the
+    TPU model folds these frozen weights into the upsample op itself."""
+    filt = bilinear_filter(size)
+    w = np.zeros((channels, channels, size, size), np.float32)
+    for c in range(channels):
+        w[c, c] = filt
+    return w
+
+
 @functools.lru_cache(maxsize=None)
 def _depthwise_kernel(size: int, channels: int) -> np.ndarray:
     """HWIO depthwise kernel (size, size, 1, C); the filter is symmetric so

@@ -45,6 +45,10 @@ class ModelConfig:
     #              (per-channel weight + per-tensor activation
     #              quantization); everything else as 'fast'
     compute_mode: str = "parity"
+    # fast mode: trunk convs use the relayout-free custom backward
+    # (ops/fastconv.py) — XLA's default conv wgrad materializes activation
+    # relayout copies (~45 ms/step at 480p batch 5).
+    fast_conv_vjp: bool = True
     # Static per-trunk-conv activation scales for int8 mode, in
     # stage_conv_names order (from models.quantize.calibrate_int8_scales).
     # None -> dynamic per-batch max|x| quantization (exact but pays a full

@@ -80,6 +80,24 @@ class _Int8Conv(nn.Module):
         return out.astype(self.out_dtype)
 
 
+class _FastConv(nn.Module):
+    """3x3 SAME conv via ops.fastconv.conv3x3_same — relayout-free weight
+    gradients (see that module). nn.Conv-compatible param tree."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from osvos_tpu.ops.fastconv import conv3x3_same
+
+        in_feats = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, in_feats, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return conv3x3_same(x, kernel) + bias.astype(x.dtype)
+
+
 class _Conv1x1Params(nn.Module):
     """Bare (kernel, bias) for a 1x1 conv, with nn.Conv-compatible tree
     layout — lets the fused inference head slice the fuse kernel per side
@@ -164,6 +182,8 @@ class OSVOS(nn.Module):
                 return _Int8Conv(features=feats, kernel_size=3,
                                  out_dtype=dtype, act_scale=scale,
                                  name=name)(v)
+            if cfg.compute_mode == "fast" and cfg.fast_conv_vjp:
+                return _FastConv(features=feats, name=name)(v)
             return conv(feats, 3, name)(v)
 
         n_sides = len(cfg.stages) - 1

@@ -209,3 +209,34 @@ def test_per_sample_cb_bce_equals_sliced(rng):
         want = float(class_balanced_cross_entropy_loss(
             logits[b:b + 1], labels[b:b + 1], size_average=False))
         np.testing.assert_allclose(per[b], want, rtol=1e-6)
+
+
+def test_fastconv_matches_xla_conv_forward_and_grads(rng):
+    """conv3x3_same fwd/bwd == the plain XLA conv path (f32 inputs here;
+    production uses bf16 with the same f32-accumulated contractions)."""
+    from jax import lax
+
+    from osvos_tpu.ops.fastconv import conv3x3_same
+
+    x = jnp.asarray(rng.randn(2, 9, 13, 6).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 6, 4).astype(np.float32) * 0.2)
+    g = jnp.asarray(rng.randn(2, 9, 13, 4).astype(np.float32))
+
+    def ref(x, k):
+        return lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    np.testing.assert_allclose(np.asarray(conv3x3_same(x, k)),
+                               np.asarray(ref(x, k)), atol=1e-5)
+
+    def loss_fast(x, k):
+        return jnp.sum(conv3x3_same(x, k) * g)
+
+    def loss_ref(x, k):
+        return jnp.sum(ref(x, k) * g)
+
+    dx_f, dk_f = jax.grad(loss_fast, argnums=(0, 1))(x, k)
+    dx_r, dk_r = jax.grad(loss_ref, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(dx_f), np.asarray(dx_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk_f), np.asarray(dk_r), atol=1e-4)

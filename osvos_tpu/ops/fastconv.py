@@ -49,7 +49,25 @@ def _bwd(res, g):
     # d(input): SAME conv with rot180(kernel), in/out channels swapped.
     k_flip = kb[::-1, ::-1].transpose(0, 1, 3, 2)
     dx = _conv(g.astype(x.dtype), k_flip, ((1, 1), (1, 1)))
-    # d(kernel): nine shift-einsums over the padded input.
+    dk = _wgrad(x, g).astype(kdtype)
+    return dx, dk
+
+
+_USE_PALLAS_WGRAD = False  # ops/pallas/wgrad.py: numerically validated
+# (interpret mode) but Mosaic compile times for the 480p shapes are
+# pathological on this toolchain (>15 min/shape) — keep the shift-einsum
+# path until that is resolved.
+
+
+def _wgrad(x, g):
+    if _USE_PALLAS_WGRAD and jax.default_backend() == "tpu" \
+            and x.shape[-1] >= 8 and g.shape[-1] >= 8:
+        # single-pass Pallas kernel: reads activations once (vs nine
+        # shifted materializations below)
+        from osvos_tpu.ops.pallas.wgrad import wgrad3x3
+
+        return wgrad3x3(x, g)
+    # nine shift-einsums over the padded input.
     n, h, w, _ = x.shape
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     rows = []
@@ -61,8 +79,7 @@ def _bwd(res, g):
             cols.append(jnp.einsum("nhwc,nhwd->cd", xs, g.astype(x.dtype),
                                    preferred_element_type=jnp.float32))
         rows.append(jnp.stack(cols))
-    dk = jnp.stack(rows).astype(kdtype)
-    return dx, dk
+    return jnp.stack(rows)
 
 
 conv3x3_same.defvjp(_fwd, _bwd)

@@ -71,3 +71,28 @@ def test_fused_tail_kernel_matches_xla_infer(rng, hw):
     # identical math, different op order: allow 1 quantization level
     diff = np.abs(np.asarray(pal).astype(int) - np.asarray(xla).astype(int))
     assert diff.max() <= 1, diff.max()
+
+
+@pytest.mark.parametrize("shape", [(2, 9, 13, 8, 4), (1, 33, 49, 64, 64)])
+def test_wgrad3x3_kernel_matches_xla(rng, shape):
+    """Single-pass wgrad kernel == the autodiff weight gradient (interpret
+    mode; production use is gated off — see the module docstring)."""
+    from jax import lax
+
+    from osvos_tpu.ops.pallas.wgrad import wgrad3x3
+
+    n, h, w, c, d = shape
+    x = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32))
+    g = jnp.asarray(rng.randn(n, h, w, d).astype(np.float32))
+
+    def ref_loss(k):
+        y = lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), k.astype(jnp.bfloat16), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.sum(y.astype(jnp.float32) * g)
+
+    dk_ref = jax.grad(ref_loss)(jnp.zeros((3, 3, c, d), jnp.float32))
+    dk = wgrad3x3(x, g, interpret=True)
+    rel = float(jnp.abs(dk - dk_ref).max()) / \
+        (float(jnp.abs(dk_ref).max()) + 1e-9)
+    assert rel < 2e-2, rel

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Capture and summarize a device trace of the hot training/inference steps.
+
+Usage:
+    python scripts/profile_step.py --what online_step   # fwd+bwd+opt @480p
+    python scripts/profile_step.py --what infer         # batched inference
+
+Writes a perfetto trace (view at ui.perfetto.dev) and prints a per-op-class
+duration summary parsed straight from the trace JSON — works on this
+tunneled-TPU setup where interactive XProf is unavailable. This is how the
+wgrad-relayout and unfused-elementwise costs in BASELINE.md were found.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def summarize(log_dir: str, steps: int) -> None:
+    path = sorted(glob.glob(
+        os.path.join(log_dir, "plugins/profile/*/perfetto_trace.json.gz")))[-1]
+    data = json.loads(gzip.open(path).read())
+    events = data if isinstance(data, list) else data.get("traceEvents", [])
+    tpu_pids = {e.get("pid") for e in events
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in str(e.get("args", {}).get("name", ""))}
+    cat = collections.Counter()
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in tpu_pids:
+            n = e["name"]
+            if n.startswith("jit_") or n.isdigit():
+                continue
+            cat[re.sub(r"[.\d]+$", "", n)] += e.get("dur", 0)
+    total = sum(cat.values())
+    print(f"\ntrace: {path}")
+    print(f"device busy: {total / steps / 1e3:.2f} ms/step")
+    for k, v in cat.most_common(20):
+        print(f"{v / steps / 1e3:9.3f} ms/step  {k}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--what", default="online_step",
+                    choices=["online_step", "infer"])
+    ap.add_argument("--out", default="/tmp/osvos_trace")
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=5)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--width", type=int, default=854)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from osvos_tpu.configs import ModelConfig
+    from osvos_tpu.models import OSVOS, init_osvos_params
+
+    cfg = ModelConfig(compute_mode="fast")
+    params = init_osvos_params(jax.random.PRNGKey(0), cfg, input_hw=(64, 112))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(args.batch, args.height, args.width, 3)
+                    .astype(np.float32) * 30)
+
+    if args.what == "online_step":
+        from osvos_tpu.ops.loss import (
+            class_balanced_cross_entropy_loss_per_sample)
+
+        model = OSVOS(cfg)
+        m = jnp.asarray((rng.rand(args.batch, args.height, args.width, 1)
+                         > 0.5).astype(np.float32))
+
+        def loss(p, v):
+            out = model.apply({"params": p}, v, mode="infer")[-1]
+            return class_balanced_cross_entropy_loss_per_sample(out, m).mean()
+
+        fn = jax.jit(jax.value_and_grad(loss))
+    else:
+        from osvos_tpu.evaluation.infer import make_infer_fn
+
+        fn = make_infer_fn(cfg)
+
+    jax.block_until_ready(fn(params, x))
+    jax.block_until_ready(fn(params, x))
+    os.makedirs(args.out, exist_ok=True)
+    with jax.profiler.trace(args.out, create_perfetto_trace=True):
+        for _ in range(args.steps):
+            o = fn(params, x)
+        jax.block_until_ready(o)
+    summarize(args.out, args.steps)
+
+
+if __name__ == "__main__":
+    main()

@@ -141,3 +141,36 @@ def test_int8_static_scales_close_to_dynamic(ported_params, rng):
                                mode="infer")[-1])
     denom = float(np.abs(o_d).max()) + 1e-6
     assert float(np.abs(o_d - o_s).max()) / denom < 0.2
+
+
+def test_int8_agreement_after_fine_tuning(rng):
+    """int8 inference must track the f32 path on a model that actually
+    learned something (fine-tuned on a synthetic pair), not just at random
+    init — the regime the quantized deploy path runs in."""
+    from osvos_tpu.configs import OnlineConfig
+    from osvos_tpu.models import init_osvos_params
+    from osvos_tpu.train.online import make_fine_tune_fn
+
+    TINY = ModelConfig(stages=((4, 4), (6, 6), (8, 8, 8), (8, 8, 8),
+                               (8, 8, 8)), side_channels=4,
+                       compute_mode="parity")
+    params = init_osvos_params(jax.random.PRNGKey(0), TINY, input_hw=(32, 48))
+    yy, xx = np.mgrid[0:32, 0:48].astype(np.float32)
+    img = np.stack([np.sin(xx / 5), np.cos(yy / 4), xx / 48], -1) * 60
+    mask = ((((yy - 16) / 8) ** 2 + ((xx - 20) / 10) ** 2) <= 1
+            ).astype(np.float32)[..., None]
+    img += np.where(mask > 0, 80.0, 0.0)
+
+    cfg = OnlineConfig(n_steps=30, n_ave_grad=2, lr=1e-4, hflip_prob=0.0)
+    ft = jax.jit(make_fine_tune_fn(TINY, cfg, aug_mode="pool", pool_size=2))
+    tuned, losses = ft(params, jnp.asarray(img), jnp.asarray(mask),
+                       jax.random.PRNGKey(1))
+    assert float(losses[-1]) < float(losses[0])  # it learned
+
+    x = jnp.asarray(img[None])
+    f32 = OSVOS(TINY).apply({"params": tuned}, x, mode="infer")[-1]
+    int8 = OSVOS(ModelConfig(stages=TINY.stages, side_channels=4,
+                             compute_mode="int8")).apply(
+        {"params": tuned}, x, mode="infer")[-1]
+    agree = np.mean((np.asarray(f32) > 0) == (np.asarray(int8) > 0))
+    assert agree >= 0.99, agree

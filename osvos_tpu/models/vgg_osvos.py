@@ -26,7 +26,7 @@ TPU-native choices (not a translation):
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -159,6 +159,11 @@ class OSVOS(nn.Module):
         """
         cfg = self.config
         assert mode in ("train", "infer", "infer_parts"), mode
+        # int8 rounding has zero gradient a.e. — a fine-tune against an int8
+        # trunk would silently train nothing; fail loudly instead.
+        assert not (cfg.compute_mode == "int8" and mode == "train"), (
+            "compute_mode='int8' is inference-only (round/clip have zero "
+            "gradients); use 'fast' or 'parity' for training")
         dtype = self._compute_dtype()
         prec = self._precision()
         f32_prec = (lax.Precision.HIGHEST if cfg.compute_mode == "parity"

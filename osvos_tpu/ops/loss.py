@@ -78,6 +78,7 @@ def class_balanced_cross_entropy_loss(
 def class_balanced_cross_entropy_loss_per_sample(
     output: jnp.ndarray,
     label: jnp.ndarray,
+    impl: str = "xla",
 ) -> jnp.ndarray:
     """(B,) per-sample class-balanced BCE (sum normalization per sample).
 
@@ -86,7 +87,17 @@ def class_balanced_cross_entropy_loss_per_sample(
     reductions so it shards cleanly over a data-parallel mesh (no
     cross-shard slicing). ``mean()`` of this over a batch of n equals the
     reference's accumulate-``loss/nAveGrad``-over-n regime exactly.
+
+    impl='pallas' dispatches to the fused single-pass kernel
+    (ops/pallas/cbbce.py) — one HBM pass per direction instead of the XLA
+    path's several full-resolution temporaries.
     """
+    if impl == "pallas":
+        from osvos_tpu.ops.pallas.cbbce import (
+            class_balanced_cross_entropy_loss_per_sample_pallas)
+
+        return class_balanced_cross_entropy_loss_per_sample_pallas(
+            output, label, jax.default_backend() != "tpu")
     logits = output.astype(jnp.float32)
     labels = (label.astype(jnp.float32) >= 0.5).astype(jnp.float32)
     axes = tuple(range(1, logits.ndim))

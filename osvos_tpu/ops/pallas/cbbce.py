@@ -144,6 +144,142 @@ def _cbbce_grad(logits: jnp.ndarray, labels: jnp.ndarray,
     return dx.reshape(-1)[:n].reshape(logits.shape)
 
 
+def _pad_flat_batched(arr: jnp.ndarray, rows: int) -> jnp.ndarray:
+    b = arr.shape[0]
+    flat = arr.reshape(b, -1)
+    total = rows * _LANES
+    return jnp.pad(flat, ((0, 0), (0, total - flat.shape[1]))).reshape(
+        b, rows, _LANES)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _cbbce_stats_per_sample(logits: jnp.ndarray, labels: jnp.ndarray,
+                            interpret: bool = False) -> jnp.ndarray:
+    """(B, 4) per-sample sufficient statistics — grid (B, tiles), the SMEM
+    accumulator resets at each sample's first tile and flushes to that
+    sample's output row on its last."""
+    b = logits.shape[0]
+    n = logits.size // b
+    rows = _padded_rows(n)
+    pad = rows * _LANES - n
+    flat_x = logits.astype(jnp.float32).reshape(b, -1)
+    x = jnp.pad(flat_x, ((0, 0), (0, pad)),
+                constant_values=_PAD_LOGIT).reshape(b, rows, _LANES)
+    z = _pad_flat_batched(labels.astype(jnp.float32), rows)
+    tiles = rows // _TILE_ROWS
+
+    def kernel(x_ref, z_ref, out_ref, acc_ref):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            for j in range(4):
+                acc_ref[j] = 0.0
+
+        xv = x_ref[0]
+        zv = (z_ref[0] >= 0.5).astype(jnp.float32)
+        acc_ref[0] += jnp.sum(zv)
+        acc_ref[1] += jnp.sum(1.0 - zv)
+        acc_ref[2] += jnp.sum(zv * jax.nn.softplus(-xv))
+        acc_ref[3] += jnp.sum((1.0 - zv) * jax.nn.softplus(xv))
+
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _():
+            out_ref[:] = jnp.stack([acc_ref[0], acc_ref[1], acc_ref[2],
+                                    acc_ref[3]]).reshape(1, 4)
+
+    stats = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, 4), jnp.float32),
+        grid=(b, tiles),
+        in_specs=[
+            pl.BlockSpec((1, _TILE_ROWS, _LANES), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TILE_ROWS, _LANES), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
+        interpret=interpret,
+    )(x, z)
+    return stats - jnp.asarray([0.0, float(pad), 0.0, 0.0], jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _cbbce_grad_per_sample(logits: jnp.ndarray, labels: jnp.ndarray,
+                           weights: jnp.ndarray,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Per-sample elementwise backward; weights: (B, 4) rows of
+    (w_pos, w_neg, scale, unused)."""
+    b = logits.shape[0]
+    n = logits.size // b
+    rows = _padded_rows(n)
+    x = _pad_flat_batched(logits.astype(jnp.float32), rows)
+    z = _pad_flat_batched(labels.astype(jnp.float32), rows)
+    tiles = rows // _TILE_ROWS
+
+    def kernel(x_ref, z_ref, w_ref, dx_ref):
+        xv = x_ref[0]
+        zv = (z_ref[0] >= 0.5).astype(jnp.float32)
+        w_pos, w_neg, scale = w_ref[0, 0], w_ref[0, 1], w_ref[0, 2]
+        sig = jax.nn.sigmoid(xv)
+        dx_ref[0] = scale * (w_pos * zv * (sig - 1.0)
+                             + w_neg * (1.0 - zv) * sig)
+
+    dx = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, rows, _LANES), jnp.float32),
+        grid=(b, tiles),
+        in_specs=[
+            pl.BlockSpec((1, _TILE_ROWS, _LANES), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TILE_ROWS, _LANES), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda i, j: (i, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _TILE_ROWS, _LANES),
+                               lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, z, weights)
+    return dx.reshape(b, -1)[:, :n].reshape(logits.shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def class_balanced_cross_entropy_loss_per_sample_pallas(
+    output: jnp.ndarray,
+    label: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused drop-in for ops.loss.class_balanced_cross_entropy_loss_per_sample
+    — (B,) per-sample class-balanced BCE in one HBM pass each direction."""
+    loss, _ = _fwd_ps(output, label, interpret)
+    return loss
+
+
+def _fwd_ps(output, label, interpret):
+    stats = _cbbce_stats_per_sample(output, label, interpret=interpret)
+    num_pos, num_neg = stats[:, 0], stats[:, 1]
+    total = num_pos + num_neg
+    loss = (num_neg / total) * stats[:, 2] + (num_pos / total) * stats[:, 3]
+    return loss, (output, label, num_pos, num_neg)
+
+
+def _bwd_ps(interpret, residuals, g):
+    output, label, num_pos, num_neg = residuals
+    total = num_pos + num_neg
+    weights = jnp.stack(
+        [num_neg / total, num_pos / total, g.astype(jnp.float32),
+         jnp.zeros_like(total)], axis=1)
+    dx = _cbbce_grad_per_sample(output, label, weights, interpret=interpret)
+    return dx.astype(output.dtype), jnp.zeros_like(label)
+
+
+class_balanced_cross_entropy_loss_per_sample_pallas.defvjp(_fwd_ps, _bwd_ps)
+
+
 def _norm(label_shape, label_size: int, size_average: bool,
           batch_average: bool) -> float:
     if size_average:

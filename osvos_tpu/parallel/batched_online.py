@@ -91,16 +91,41 @@ def batched_fine_tune(
 
     s = images.shape[0]
 
+    # Pool residency: pools live on device for the whole adaptation. Store
+    # them bf16 outside parity mode (the trunk computes in bf16 anyway) and
+    # cap pool_size so the per-device share stays within a fixed HBM budget
+    # — 20 val sequences at 480p with pool_size=100 would otherwise be
+    # ~13 GB of f32 on a single chip.
+    pool_dtype = (jnp.float32 if model_config.compute_mode == "parity"
+                  else jnp.bfloat16)
+    if aug_mode == "pool":
+        n_dev = mesh.devices.size if mesh is not None else 1
+        s_local = -(-s // n_dev)
+        h, w = images.shape[1], images.shape[2]
+        budget = 4 * 2**30  # bytes of pool residency per device
+        per_entry = s_local * h * w * 4 * jnp.dtype(pool_dtype).itemsize
+        max_pool = max(8, budget // max(per_entry, 1))
+        if pool_size > max_pool:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "batched_fine_tune: capping pool_size %d -> %d to fit the "
+                "per-device pool budget (%d seqs/device at %dx%d)",
+                pool_size, max_pool, s_local, h, w)
+            pool_size = int(max_pool)
+
     if aug_mode == "pool":
         if host_pool:
             pool_imgs, pool_masks = _host_pools(images, masks, cfg, pool_size)
-            pool_imgs = jnp.asarray(pool_imgs)
-            pool_masks = jnp.asarray(pool_masks)
+            pool_imgs = jnp.asarray(pool_imgs, pool_dtype)
+            pool_masks = jnp.asarray(pool_masks, pool_dtype)
         else:
             keys_pool = jax.random.split(jax.random.PRNGKey(cfg.seed + 7), s)
             pool_imgs, pool_masks = jax.vmap(
                 lambda k, im, m: _augment_pool(k, im, m, cfg, pool_size)
             )(keys_pool, jnp.asarray(images), jnp.asarray(masks))
+            pool_imgs = pool_imgs.astype(pool_dtype)
+            pool_masks = pool_masks.astype(pool_dtype)
     else:
         pool_imgs = jnp.asarray(images)[:, None]
         pool_masks = jnp.asarray(masks)[:, None]

@@ -22,6 +22,25 @@ import jax
 from jax.sharding import Mesh
 
 
+def initialize_multihost() -> bool:
+    """Multi-host entry (SURVEY.md §5 distributed-comm row).
+
+    A single v5e-8 slice is one host, so nothing here runs by default; on a
+    multi-host slice (or multi-slice DCN job) set ``OSVOS_MULTIHOST=1`` in
+    every process and launch one process per host — ``jax.distributed
+    .initialize()`` picks coordinator/process_id/local devices from the TPU
+    runtime environment, after which ``jax.devices()`` is global and every
+    mesh in this module spans the full job. Returns True when the
+    distributed runtime was initialized.
+    """
+    import os
+
+    if os.environ.get("OSVOS_MULTIHOST", "0") != "1":
+        return False
+    jax.distributed.initialize()
+    return True
+
+
 def make_mesh(axis_name: str = "data",
               devices: Optional[Sequence] = None,
               n_devices: Optional[int] = None) -> Mesh:

@@ -178,7 +178,7 @@ def make_chunk_fn(
             # reference's accumulate-grads-of-(loss_i/n) (train_online.py).
             out = model.apply({"params": p}, imgs, mode="infer")[-1]
             return class_balanced_cross_entropy_loss_per_sample(
-                out, ms.astype(jnp.float32)).mean()
+                out, ms.astype(jnp.float32), impl=impl).mean()
 
         def step(carry, skey):
             params, opt_state = carry

@@ -49,11 +49,12 @@ def make_parent_train_step(model_config: ModelConfig, cfg: ParentConfig):
     identical gradient and momentum timing — run ``batch_size=n_ave_grad,
     n_ave_grad=1`` for the reference regime at full MXU batch efficiency."""
     model = OSVOS(model_config)
+    impl = getattr(cfg, "loss_impl", "xla")
 
     def loss_fn(params, images, gts, side_weight):
         outs = model.apply({"params": params}, images)
-        losses = [class_balanced_cross_entropy_loss_per_sample(o, gts).mean()
-                  for o in outs]
+        losses = [class_balanced_cross_entropy_loss_per_sample(
+            o, gts, impl=impl).mean() for o in outs]
         total = side_weight * sum(losses[:-1]) + losses[-1]
         return total, jnp.stack(losses)
 

@@ -20,6 +20,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _load_annotations(ann_dir: str):
+    """Ground-truth masks in {0,1}, filtered to image files — a stray
+    non-image in the directory (imread -> None) must not kill the eval."""
+    import cv2
+
+    anns = []
+    for f in sorted(os.listdir(ann_dir)):
+        if not f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp")):
+            continue
+        a = cv2.imread(os.path.join(ann_dir, f), 0)
+        if a is None:
+            continue
+        anns.append(a / max(a.max(), 1e-8))
+    return anns
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--db_root", default=None)
@@ -41,9 +57,27 @@ def main() -> None:
     ap.add_argument("--momentum", type=float, default=0.9)
     ap.add_argument("--compute_mode", default="fast",
                     choices=["fast", "parity"])
+    ap.add_argument("--infer_mode", default=None,
+                    choices=["fast", "parity", "int8"],
+                    help="compute mode for the post-fine-tune inference "
+                         "pass; 'int8' calibrates static activation scales "
+                         "on the sequence's first frame and runs the trunk "
+                         "on the int8 MXU path (default: same as "
+                         "--compute_mode)")
     ap.add_argument("--aug_mode", default="pool",
                     choices=["pool", "per_step"])
+    ap.add_argument("--loss_impl", default="xla", choices=["xla", "pallas"],
+                    help="CB-BCE implementation for the fine-tune loss")
     ap.add_argument("--no_save", action="store_true")
+    ap.add_argument("--vis_res", action="store_true",
+                    help="save mask-over-frame overlay PNGs under "
+                         "<save_root>/Overlays/<seq> (the reference's "
+                         "matplotlib vis_res flag, train_online.py:~180)")
+    ap.add_argument("--log_dir", default=None,
+                    help="per-step fine-tune loss scalars (JSONL + "
+                         "TensorBoard) — reference writes tensorboardX "
+                         "scalars in its online loop (train_online.py:~100). "
+                         "Default: <save_root>/logs/<seq>")
     ap.add_argument("--tiny", action="store_true",
                     help="reduced-width model (smoke tests / CPU dev "
                          "shells; checkpoints are not interchangeable "
@@ -58,6 +92,10 @@ def main() -> None:
 
     import jax
     import jax.numpy as jnp
+
+    from osvos_tpu.parallel.mesh import initialize_multihost
+
+    initialize_multihost()  # no-op unless OSVOS_MULTIHOST=1 (multi-host job)
 
     from osvos_tpu.configs import (DataConfig, ModelConfig, OnlineConfig,
                                    PathConfig)
@@ -85,7 +123,9 @@ def main() -> None:
     cfg = OnlineConfig(seq_name=args.seq_name, n_steps=args.steps,
                        n_ave_grad=args.n_ave_grad, lr=args.lr,
                        weight_decay=args.weight_decay,
-                       momentum=args.momentum, seed=args.seed)
+                       momentum=args.momentum, seed=args.seed,
+                       loss_impl=args.loss_impl,
+                       save_results=not args.no_save, vis_res=args.vis_res)
 
     if args.parent.endswith((".pth", ".pt", ".npz")):
         params = load_torch_state_dict(load_pth_as_numpy(args.parent))
@@ -93,6 +133,25 @@ def main() -> None:
         params, _, _ = load_checkpoint(args.parent)
 
     data_cfg = DataConfig()
+
+    infer_mode = args.infer_mode or args.compute_mode
+
+    def make_infer_config(adapted_params, first_frame):
+        """Model config for the post-fine-tune inference pass. int8:
+        post-training quantization with static activation scales calibrated
+        on the sequence's own (fine-tuned-on) first frame."""
+        import dataclasses as _dc
+
+        if infer_mode == model_config.compute_mode:
+            return model_config
+        icfg = _dc.replace(model_config, compute_mode=infer_mode)
+        if infer_mode == "int8":
+            from osvos_tpu.models.quantize import calibrate_int8_scales
+
+            scales = calibrate_int8_scales(
+                adapted_params, jnp.asarray(first_frame)[None], icfg)
+            icfg = _dc.replace(icfg, int8_scales=scales)
+        return icfg
 
     def run_one(seq_name: str, parent_params):
         ocfg = OnlineConfig(**{**cfg.__dict__, "seq_name": seq_name})
@@ -108,31 +167,52 @@ def main() -> None:
             jax.block_until_ready(result.params)
         ft_time = time.perf_counter() - t0
 
+        from osvos_tpu.utils.logging import ScalarLogger
+
+        log_dir = args.log_dir or os.path.join(save_root, "logs", seq_name)
+        logger = ScalarLogger(log_dir)
+        for step, loss in enumerate(np.asarray(result.losses)):
+            logger.add_scalar("total_loss_epoch", float(loss), step)
+        logger.close()
+
         test_ds = DAVIS2016(train=False, db_root_dir=db_root,
                             seq_name=seq_name, data_config=data_cfg)
         frames = [test_ds.make_img_gt_pair(i)[0] for i in range(len(test_ds))]
+        icfg = make_infer_config(result.params, frames[0])
         t0 = time.perf_counter()
-        masks = infer_sequence(result.params, frames, model_config)
+        masks = infer_sequence(result.params, frames, icfg)
         infer_time = time.perf_counter() - t0
         print(f"[{seq_name}] fine-tune {ft_time:.1f}s "
-              f"({ocfg.n_steps} steps), inference "
+              f"({ocfg.n_steps} steps), inference [{infer_mode}] "
               f"{len(frames) / max(infer_time, 1e-9):.1f} f/s, "
               f"final loss {float(result.losses[-1]):.4f}", flush=True)
 
-        if not args.no_save:
+        if ocfg.vis_res:
+            import cv2
+
+            from osvos_tpu.data.helpers import overlay_mask
+
+            mean = np.asarray(data_cfg.meanval, np.float32)
+            for fi, (frame, mask) in enumerate(zip(frames, masks)):
+                bgr = np.clip(frame + mean, 0, 255).astype(np.uint8)
+                ov = overlay_mask(bgr, mask >= 128)
+                stem = os.path.splitext(
+                    os.path.basename(test_ds.img_list[fi]))[0]
+                path = os.path.join(save_root, "Overlays", seq_name,
+                                    f"{stem}.png")
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                cv2.imwrite(path, ov)
+
+        if ocfg.save_results:
             fnames = [test_ds.img_list[i] for i in range(len(test_ds))]
             save_sequence_results(masks, fnames, results_dir, seq_name)
             save_checkpoint(os.path.join(save_root, "models",
                                          f"{seq_name}_online.ckpt"),
                             result.params, step=ocfg.n_steps)
         if args.eval:
-            import cv2
-
             ann_dir = os.path.join(db_root, "Annotations",
                                    data_cfg.resolution, seq_name)
-            anns = [cv2.imread(os.path.join(ann_dir, f), 0)
-                    for f in sorted(os.listdir(ann_dir))]
-            anns = [a / max(a.max(), 1e-8) for a in anns]
+            anns = _load_annotations(ann_dir)
             if len(anns) == len(masks):
                 m = evaluate_sequence(anns, [mk >= 128 for mk in masks])
                 print(f"[{seq_name}] J={m['J_mean']:.4f} "
@@ -187,8 +267,17 @@ def main() -> None:
         t_max = max(len(f) for f in frame_lists)
         padded = np.stack([
             np.stack(f + [f[-1]] * (t_max - len(f))) for f in frame_lists])
+        # int8 here uses dynamic per-batch activation scales: static
+        # per-sequence calibration would bake 20 different scale constants
+        # into 20 recompiles of the vmapped program.
+        icfg = model_config
+        if infer_mode != model_config.compute_mode:
+            import dataclasses as _dc
+
+            icfg = _dc.replace(model_config, compute_mode=infer_mode,
+                               int8_scales=None)
         masks = np.asarray(batched_infer(adapted, jnp.asarray(padded),
-                                         model_config, mesh=mesh))
+                                         icfg, mesh=mesh))
         if not args.no_save:
             for si, seq in enumerate(seqs):
                 for ti, fname in enumerate(name_lists[si]):
@@ -203,9 +292,7 @@ def main() -> None:
             for si, seq in enumerate(seqs):
                 ann_dir = os.path.join(db_root, "Annotations",
                                        data_cfg.resolution, seq)
-                anns = [cv2.imread(os.path.join(ann_dir, f), 0)
-                        for f in sorted(os.listdir(ann_dir))]
-                anns = [a / max(a.max(), 1e-8) for a in anns]
+                anns = _load_annotations(ann_dir)
                 n = len(name_lists[si])
                 m = evaluate_sequence(anns[:n],
                                       [masks[si, t] >= 128 for t in range(n)])

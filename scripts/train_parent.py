@@ -55,6 +55,10 @@ def main() -> None:
 
     import jax
 
+    from osvos_tpu.parallel.mesh import initialize_multihost
+
+    initialize_multihost()  # no-op unless OSVOS_MULTIHOST=1 (multi-host job)
+
     from osvos_tpu.configs import DataConfig, ModelConfig, ParentConfig, PathConfig
     from osvos_tpu.models import init_osvos_params
     from osvos_tpu.parallel.mesh import make_mesh

@@ -56,6 +56,30 @@ def test_forward_parity_random_weights(torch_net, ported_params, rng, hw):
                                    err_msg=f"output {i}")
 
 
+def test_forward_parity_vs_float64_oracle(torch_net, rng):
+    """Parity mode vs the torch oracle run in float64: isolates OUR error
+    from torch's own f32 accumulation error. The f32-vs-f32 test above needs
+    atol 2e-4*scale; against the float64-exact answer the parity path holds
+    1e-5*scale (measured ~1.3e-6), i.e. it sits at f32 round-off."""
+    net64 = torch_net.double()
+    state = {k: v.detach().float().numpy()
+             for k, v in net64.state_dict().items()}
+    params = load_torch_state_dict(state)
+    x = (rng.randn(1, 65, 97, 3) * 40).astype(np.float32)
+    with torch.no_grad():
+        torch_out = net64(torch.from_numpy(
+            np.transpose(x.astype(np.float64), (0, 3, 1, 2))))
+    model = OSVOS(ModelConfig(compute_mode="parity"))
+    jax_out = jax.jit(lambda p, v: model.apply({"params": p}, v))(
+        params, jnp.asarray(x))
+    torch_net.float()  # restore for other tests sharing the fixture
+    for i, (jo, to) in enumerate(zip(jax_out, torch_out)):
+        to = np.transpose(to.numpy(), (0, 2, 3, 1))
+        scale = max(np.abs(to).max(), 1e-3)
+        np.testing.assert_allclose(np.asarray(jo, np.float64), to,
+                                   atol=1e-5 * scale, err_msg=f"output {i}")
+
+
 def test_output_shapes_davis_like():
     # Full odd-shape chain (480p DAVIS) — shapes only, tiny channel config
     # to keep CPU time sane.

@@ -40,6 +40,29 @@ def test_cbbce_pallas_matches_xla_grad(rng):
                                atol=1e-4)
 
 
+@pytest.mark.parametrize("shape", [(3, 65, 97, 1), (2, 33, 49, 1)])
+def test_cbbce_per_sample_pallas_matches_xla(rng, shape):
+    """Per-sample fused kernel == the XLA per-sample loss, value and grad
+    (the variant the parent step and microbatch online step consume)."""
+    from osvos_tpu.ops.loss import class_balanced_cross_entropy_loss_per_sample
+
+    logits = jnp.asarray(rng.randn(*shape).astype(np.float32) * 5)
+    labels = jnp.asarray((rng.rand(*shape) > 0.7).astype(np.float32))
+
+    want = class_balanced_cross_entropy_loss_per_sample(logits, labels)
+    got = class_balanced_cross_entropy_loss_per_sample(logits, labels,
+                                                       impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-6)
+
+    # grad through a weighted mean so per-sample cotangents differ
+    w = jnp.asarray(rng.rand(shape[0]).astype(np.float32) + 0.5)
+    g_xla = jax.grad(lambda x: (class_balanced_cross_entropy_loss_per_sample(
+        x, labels) * w).sum())(logits)
+    g_pl = jax.grad(lambda x: (class_balanced_cross_entropy_loss_per_sample(
+        x, labels, impl="pallas") * w).sum())(logits)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_xla), atol=1e-4)
+
+
 def test_cbbce_pallas_extreme_logits_finite(rng):
     logits = jnp.asarray(np.array([[-200.0, 200.0, 0.0, -5.0]], np.float32))
     labels = jnp.asarray(np.array([[0.0, 1.0, 1.0, 0.0]], np.float32))

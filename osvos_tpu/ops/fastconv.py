@@ -53,21 +53,20 @@ def _bwd(res, g):
     return dx, dk
 
 
-_USE_PALLAS_WGRAD = False  # ops/pallas/wgrad.py: numerically validated
-# (interpret mode) but Mosaic compile times for the 480p shapes are
-# pathological on this toolchain (>15 min/shape) — keep the shift-einsum
-# path until that is resolved.
+import os as _os
+
+# ops/pallas/wgrad.py: single-pass tile-aligned kernel. Correct on-chip
+# and fast standalone, but measured IN the full online step it loses to
+# the shift-einsum path (106.5 vs 98.0 ms/step, scripts/bench_step.py,
+# v5e batch 5 @480p): XLA's convs pick non-row-major activation layouts
+# and the kernel's row-major operands force relayout copies around it.
+# Default OFF until the flat-layout trunk (ops/flattrunk.py) makes the
+# whole hot path layout-free; env-overridable for A/B benchmarks.
+_USE_PALLAS_WGRAD = _os.environ.get("OSVOS_PALLAS_WGRAD", "0") != "0"
 
 
-def _wgrad(x, g):
-    if _USE_PALLAS_WGRAD and jax.default_backend() == "tpu" \
-            and x.shape[-1] >= 8 and g.shape[-1] >= 8:
-        # single-pass Pallas kernel: reads activations once (vs nine
-        # shifted materializations below)
-        from osvos_tpu.ops.pallas.wgrad import wgrad3x3
-
-        return wgrad3x3(x, g)
-    # nine shift-einsums over the padded input.
+def _wgrad_einsum(x, g):
+    """Nine shift-einsums over the padded input (pure-XLA fallback)."""
     n, h, w, _ = x.shape
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     rows = []
@@ -80,6 +79,17 @@ def _wgrad(x, g):
                                    preferred_element_type=jnp.float32))
         rows.append(jnp.stack(cols))
     return jnp.stack(rows)
+
+
+def _wgrad(x, g):
+    if _USE_PALLAS_WGRAD and jax.default_backend() == "tpu" \
+            and x.shape[-1] >= 8 and g.shape[-1] >= 8:
+        # single-pass Pallas kernel: reads activations once (vs nine
+        # shifted materializations in the einsum form)
+        from osvos_tpu.ops.pallas.wgrad import wgrad3x3
+
+        return wgrad3x3(x, g)
+    return _wgrad_einsum(x, g)
 
 
 conv3x3_same.defvjp(_fwd, _bwd)

@@ -1,0 +1,100 @@
+"""Flat-layout conv trunk kernels vs their XLA twin (interpret mode).
+
+Covers the three Pallas passes (fwd / dgrad / wgrad+db) of
+osvos_tpu/ops/pallas/flatconv.py on geometry variants that exercise the
+alignment edge cases: odd widths, widths where w+2 is already a multiple
+of 16, heights not divisible by the block size, and multi-tile channel
+blocks. The twin (flat_conv3x3_ref) is plain lax.conv_general_dilated on
+the un-flattened view — the same math the reference's Conv2d+ReLU chains
+compute (networks/vgg_osvos.py:~120).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from osvos_tpu.ops.pallas.flatconv import (FlatGeom, flat_conv3x3,
+                                           flat_conv3x3_ref, from_flat,
+                                           to_flat)
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+GEOMS = [
+    # (n, h, w, c, d, t)
+    (2, 6, 10, 8, 16, 4),     # generic small
+    (1, 5, 14, 8, 8, 4),      # w+2 == 16 exactly; h % t != 0
+    (2, 9, 27, 16, 8, 8),     # wider-than-one-tile wp, odd w
+    (1, 4, 6, 130, 8, 4),     # c > 128: multi-lane-tile contraction
+]
+
+
+def _mk(rng, geom_tuple):
+    n, h, w, c, d, t = geom_tuple
+    g = FlatGeom(n=n, h=h, w=w, c=c, t=t)
+    x = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32))
+    zf = to_flat(x, g)
+    k = jnp.asarray(0.1 * rng.randn(3, 3, c, d).astype(np.float32))
+    b = jnp.asarray(0.1 * rng.randn(d).astype(np.float32))
+    return g, zf, k, b
+
+
+@pytest.mark.parametrize("geom_tuple", GEOMS)
+def test_flat_conv_forward_matches_twin(rng, geom_tuple):
+    g, zf, k, b = _mk(rng, geom_tuple)
+    out = flat_conv3x3(zf, k, b, g, True, True)
+    ref = flat_conv3x3_ref(zf, k, b, g)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0, atol=2e-2)
+    # pads must be exactly zero (load-bearing for the next layer)
+    g_out = FlatGeom(n=g.n, h=g.h, w=g.w, c=k.shape[-1], t=g.t)
+    ones = jnp.ones((g.n, g.h, g.w, k.shape[-1]), jnp.float32)
+    flat_valid = np.asarray(to_flat(ones, g_out), np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(out, np.float32) * (flat_valid == 0), 0.0)
+
+
+@pytest.mark.parametrize("geom_tuple", GEOMS)
+def test_flat_conv_grads_match_twin(rng, geom_tuple):
+    g, zf, k, b = _mk(rng, geom_tuple)
+    d = k.shape[-1]
+    g_out = FlatGeom(n=g.n, h=g.h, w=g.w, c=d, t=g.t)
+    r = jnp.asarray(rng.randn(g.n, g.h, g.w, d).astype(np.float32))
+
+    def loss_pallas(zf, k, b):
+        out = flat_conv3x3(zf, k, b, g, True, True)
+        return jnp.sum(from_flat(out, g_out).astype(jnp.float32) * r)
+
+    def loss_ref(zf, k, b):
+        out = flat_conv3x3_ref(zf, k, b, g)
+        return jnp.sum(from_flat(out, g_out).astype(jnp.float32) * r)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(zf, k, b)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(zf, k, b)
+    scale_z = np.abs(np.asarray(gr[0], np.float32)).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(gp[0], np.float32),
+                               np.asarray(gr[0], np.float32),
+                               atol=3e-2 * scale_z)
+    scale_k = np.abs(np.asarray(gr[1])).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gr[1]),
+                               atol=3e-2 * scale_k)
+    scale_b = np.abs(np.asarray(gr[2])).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(gp[2]), np.asarray(gr[2]),
+                               atol=3e-2 * scale_b)
+
+
+def test_flat_roundtrip(rng):
+    g = FlatGeom(n=2, h=7, w=13, c=5, t=4)
+    x = jnp.asarray(rng.randn(2, 7, 13, 5).astype(np.float32))
+    back = from_flat(to_flat(x, g), g)
+    np.testing.assert_allclose(np.asarray(back, np.float32),
+                               np.asarray(x.astype(jnp.bfloat16), np.float32))

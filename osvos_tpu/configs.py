@@ -41,6 +41,10 @@ class ModelConfig:
     side_channels: int = 16
     # 'parity'  -> float32 + HIGHEST conv precision (matches torch bit-closely)
     # 'fast'    -> bfloat16 compute, float32 params (TPU MXU path)
+    # 'flat'    -> training hot path: the whole trunk (fwd+bwd) runs in the
+    #              flat-layout Pallas kernels (ops/pallas/flatconv.py) —
+    #              no relayouts, elementwise fused into the conv kernels;
+    #              heads/loss as 'fast'
     # 'int8'    -> inference-only: trunk convs on the int8 MXU path
     #              (per-channel weight + per-tensor activation
     #              quantization); everything else as 'fast'

@@ -29,6 +29,7 @@ import dataclasses
 from typing import List, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -98,6 +99,24 @@ class _FastConv(nn.Module):
         return conv3x3_same(x, kernel) + bias.astype(x.dtype)
 
 
+class _ConvParams3x3(nn.Module):
+    """Bare (kernel, bias) for a 3x3 conv with nn.Conv-compatible tree
+    layout — the flat-layout trunk (ops/pallas/flatconv.py) consumes the
+    raw params, so checkpoints interchange with every other mode."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, self.in_features, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
 class _Conv1x1Params(nn.Module):
     """Bare (kernel, bias) for a 1x1 conv, with nn.Conv-compatible tree
     layout — lets the fused inference head slice the fuse kernel per side
@@ -133,6 +152,28 @@ class OSVOS(nn.Module):
         # int8 trunk: quantize only the lane-saturating convs; the 3-channel
         # stem conv stays bf16 (negligible FLOPs, large relative error).
         return self.config.compute_mode == "int8" and in_feats >= 8
+
+    def _flat_stage(self, z: jnp.ndarray, widths, sname: str,
+                    j0: int) -> jnp.ndarray:
+        """Run a stage's 3x3 convs in the flat layout.
+
+        z: (N, H, W, C) PRE-activation NHWC (the kernels ReLU internally);
+        returns the stage's last conv output, pre-activation NHWC.
+        """
+        from osvos_tpu.ops.pallas.flatconv import (FlatGeom, flat_conv3x3,
+                                                   from_flat, stage_t,
+                                                   to_flat)
+
+        interpret = jax.default_backend() != "tpu"
+        n, h, w, c = z.shape
+        g = FlatGeom(n=n, h=h, w=w, c=c, t=stage_t(h))
+        zf = to_flat(z, g)
+        for j, width in enumerate(widths, start=j0):
+            kernel, bias = _ConvParams3x3(in_features=g.c, features=width,
+                                          name=f"{sname}_conv{j}")()
+            zf = flat_conv3x3(zf, kernel, bias, g, True, interpret)
+            g = dataclasses.replace(g, c=width)
+        return from_flat(zf, g)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mode: str = "train") -> List[jnp.ndarray]:
@@ -195,19 +236,34 @@ class OSVOS(nn.Module):
         fuse_kernel, fuse_bias = _Conv1x1Params(
             in_features=n_sides * cfg.side_channels, name="fuse")()
 
+        # 'flat' trunk: x carries PRE-activation z between layers (the
+        # flat kernels ReLU their input; max pool commutes with ReLU, so
+        # pooling z then ReLU-ing at the consumers is exact).
+        flat = cfg.compute_mode == "flat"
+
         # Stage 1 (no pooling before it).
-        for j, width in enumerate(cfg.stages[0]):
-            x = nn.relu(trunk_conv(x, width, f"stage1_conv{j}"))
+        if flat:
+            # stem stays XLA (C=3 taps would waste the MXU); output pre-relu
+            x = trunk_conv(x, cfg.stages[0][0], "stage1_conv0")
+            x = self._flat_stage(x, cfg.stages[0][1:], "stage1", 1)
+        else:
+            for j, width in enumerate(cfg.stages[0]):
+                x = nn.relu(trunk_conv(x, width, f"stage1_conv{j}"))
 
         side_feats: List[jnp.ndarray] = []
         side_logits: List[jnp.ndarray] = []
         fused_contribs: List[jnp.ndarray] = []
         for i, widths in enumerate(cfg.stages[1:], start=1):
             x = max_pool_ceil(x)
-            for j, width in enumerate(widths):
-                x = nn.relu(trunk_conv(x, width, f"stage{i + 1}_conv{j}"))
+            if flat:
+                x = self._flat_stage(x, widths, f"stage{i + 1}", 0)
+                x_act = nn.relu(x)
+            else:
+                for j, width in enumerate(widths):
+                    x = nn.relu(trunk_conv(x, width, f"stage{i + 1}_conv{j}"))
+                x_act = x
             factor = 2 ** i
-            side_temp = conv(cfg.side_channels, 3, f"side_prep{i}")(x)
+            side_temp = conv(cfg.side_channels, 3, f"side_prep{i}")(x_act)
 
             if mode in ("infer", "infer_parts"):
                 # collapse to the fused channel at low res, then upsample

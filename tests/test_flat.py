@@ -98,3 +98,85 @@ def test_flat_roundtrip(rng):
     back = from_flat(to_flat(x, g), g)
     np.testing.assert_allclose(np.asarray(back, np.float32),
                                np.asarray(x.astype(jnp.bfloat16), np.float32))
+
+
+# ---------------------------------------------------------------------------
+# model-level: compute_mode='flat' vs 'fast' (tiny config, CPU interpret)
+# ---------------------------------------------------------------------------
+
+
+TINY = dict(stages=((8, 8), (12, 12), (16, 16), (16, 16), (16, 16)),
+            side_channels=8)
+
+
+def _tiny_model(mode):
+    from osvos_tpu.configs import ModelConfig
+    from osvos_tpu.models.vgg_osvos import OSVOS
+    return OSVOS(ModelConfig(compute_mode=mode, **TINY))
+
+
+def test_flat_model_param_tree_matches_fast(rng):
+    import jax
+    from osvos_tpu.models import init_osvos_params
+    from osvos_tpu.configs import ModelConfig
+    pf = init_osvos_params(jax.random.PRNGKey(0),
+                           ModelConfig(compute_mode="flat", **TINY),
+                           input_hw=(16, 24))
+    pr = init_osvos_params(jax.random.PRNGKey(0),
+                           ModelConfig(compute_mode="fast", **TINY),
+                           input_hw=(16, 24))
+    sf = jax.tree.structure(pf)
+    sr = jax.tree.structure(pr)
+    assert sf == sr
+    for a, b in zip(jax.tree.leaves(pf), jax.tree.leaves(pr)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+
+
+@pytest.mark.parametrize("mode", ["train", "infer"])
+def test_flat_model_forward_matches_fast(rng, mode):
+    import jax
+    from osvos_tpu.models import init_osvos_params
+    from osvos_tpu.configs import ModelConfig
+    h, w = 17, 29  # odd sizes exercise ceil-mode pooling through all stages
+    params = init_osvos_params(jax.random.PRNGKey(0),
+                               ModelConfig(compute_mode="fast", **TINY),
+                               input_hw=(h, w))
+    x = jnp.asarray(rng.randn(2, h, w, 3).astype(np.float32) * 10)
+    out_flat = _tiny_model("flat").apply({"params": params}, x, mode=mode)
+    out_fast = _tiny_model("fast").apply({"params": params}, x, mode=mode)
+    assert len(out_flat) == len(out_fast)
+    for a, b in zip(out_flat, out_fast):
+        scale = np.abs(np.asarray(b, np.float32)).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=4e-2 * scale)
+
+
+def test_flat_model_grads_match_fast(rng):
+    import jax
+    from osvos_tpu.models import init_osvos_params
+    from osvos_tpu.configs import ModelConfig
+    from osvos_tpu.ops.loss import class_balanced_cross_entropy_loss
+    h, w = 17, 29
+    params = init_osvos_params(jax.random.PRNGKey(0),
+                               ModelConfig(compute_mode="fast", **TINY),
+                               input_hw=(h, w))
+    x = jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32) * 10)
+    m = jnp.asarray((rng.rand(1, h, w, 1) > 0.5).astype(np.float32))
+
+    def loss(p, mode):
+        out = _tiny_model(mode).apply({"params": p}, x, mode="infer")[-1]
+        return class_balanced_cross_entropy_loss(out, m, size_average=False)
+
+    gf = jax.grad(lambda p: loss(p, "flat"))(params)
+    gr = jax.grad(lambda p: loss(p, "fast"))(params)
+    flat_leaves = jax.tree.leaves_with_path(gf)
+    ref_leaves = dict(jax.tree.leaves_with_path(gr))
+    checked = 0
+    for path, leaf in flat_leaves:
+        ref = ref_leaves[path]
+        scale = np.abs(np.asarray(ref)).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref),
+                                   atol=6e-2 * scale, err_msg=str(path))
+        checked += 1
+    assert checked == len(flat_leaves)

@@ -1,16 +1,28 @@
 #!/usr/bin/env python
-"""Benchmark harness: 480p inference throughput (frames/sec/chip).
+"""Benchmark harness: inference throughput + online fine-tune step time.
 
-Prints ONE JSON line:
+Prints ONE JSON line. The primary metric stays the 480p inference
+throughput; the online fine-tune step time (the <=60 s/sequence target)
+and the batched-adaptation per-sequence projection ride in the same line
+under "extra_metrics" so the driver's BENCH_r*.json captures all three
+from the real chip:
+
   {"metric": "480p_frames_per_sec_per_chip", "value": N, "unit": "frames/s",
-   "vs_baseline": N}
+   "vs_baseline": N, "extra_metrics": {
+     "online_ms_per_step": ..,          # serial single-sequence, batch n_ave_grad
+     "online_s_per_sequence": ..,       # x2000 steps (reference protocol)
+     "batched_ms_per_step_per_seq": .., # S=3 vmapped on one chip
+     "batched_s_per_seq_v5e8_proj": ..  # 24 seqs on 8 chips, 2000 steps
+   }}
 
-Baseline: the reference repo runs ~100-130 ms/frame on a Titan X
-(BASELINE.md, OSVOS paper) -> 8.7 f/s at the 115 ms midpoint. The driver's
-v5e target is >= 500 f/s/chip.
+Baseline: the reference repo runs ~100-130 ms/frame 480p inference on a
+Titan X (BASELINE.md, OSVOS paper) -> 8.7 f/s at the 115 ms midpoint, and
+~10 min/sequence online fine-tuning. Driver v5e targets: >= 500 f/s/chip,
+<= 60 s/sequence.
 
 Runs on whatever jax.default_backend() provides (the real TPU chip under
-the driver; CPU in dev shells — pass --tiny there).
+the driver; CPU in dev shells — pass --tiny there, which also shrinks the
+fine-tune benches).
 """
 
 from __future__ import annotations
@@ -37,6 +49,13 @@ def main() -> None:
                     help="tiny model+shape smoke run (CPU dev shells)")
     ap.add_argument("--compute_mode", default="int8",
                     choices=["fast", "parity", "int8"])
+    ap.add_argument("--train_mode", default=None,
+                    help="compute mode for the fine-tune benches "
+                         "(default: env OSVOS_BENCH_TRAIN_MODE or 'fast')")
+    ap.add_argument("--steps_ft", type=int, default=15,
+                    help="optimizer steps per timed fine-tune dispatch")
+    ap.add_argument("--skip_ft", action="store_true",
+                    help="inference metric only (skip fine-tune benches)")
     args = ap.parse_args()
 
     import numpy as np
@@ -85,12 +104,94 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     fps = args.batch * args.iters / dt
-    print(json.dumps({
+
+    extra = {}
+    if not args.skip_ft:
+        extra = _bench_finetune(args)
+
+    line = {
         "metric": "480p_frames_per_sec_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
-    }))
+    }
+    if extra:
+        line["extra_metrics"] = extra
+    print(json.dumps(line))
+
+
+def _bench_finetune(args) -> dict:
+    """Serial + S=3-batched online fine-tune step times (production chunk
+    fn: augmentation draw + fwd + bwd + grouped SGD, train/online.py)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from osvos_tpu.configs import ModelConfig, OnlineConfig
+    from osvos_tpu.models import init_osvos_params
+    from osvos_tpu.train.online import make_chunk_fn, make_online_optimizer
+
+    mode = args.train_mode or os.environ.get("OSVOS_BENCH_TRAIN_MODE", "fast")
+    if args.tiny:
+        mcfg = ModelConfig(stages=((8, 8), (12, 12), (16, 16, 16),
+                                   (16, 16, 16), (16, 16, 16)),
+                           side_channels=8, compute_mode=mode)
+        height, width, pool = 64, 112, 8
+    else:
+        mcfg = ModelConfig(compute_mode=mode)
+        height, width, pool = args.height, args.width, 50
+    ocfg = OnlineConfig()
+    steps = args.steps_ft
+
+    params = init_osvos_params(jax.random.PRNGKey(0), mcfg,
+                               input_hw=(64, 112))
+    rng = np.random.RandomState(0)
+    pool_imgs = jnp.asarray(
+        rng.randn(pool, height, width, 3).astype(np.float32) * 30)
+    pool_masks = jnp.asarray(
+        (rng.rand(pool, height, width, 1) > 0.5).astype(np.float32))
+
+    chunk = jax.jit(make_chunk_fn(mcfg, ocfg), donate_argnums=(0, 1))
+    tx = make_online_optimizer(params, ocfg, "microbatch")
+    keys = jax.random.split(jax.random.PRNGKey(1), steps)
+
+    def timed(fn, *fn_args):
+        state = fn(*fn_args)  # compile + warm
+        jax.block_until_ready(state[2])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state = fn(*state[:2], *fn_args[2:])
+            jax.block_until_ready(state[2])
+            best = min(best, time.perf_counter() - t0)
+        return best / steps * 1e3
+
+    p0 = jax.tree.map(jnp.array, params)
+    serial_ms = timed(chunk, p0, tx.init(p0), pool_imgs, pool_masks, keys)
+
+    # S=3 vmapped on one chip = the per-device program of the v5e-8
+    # shard_map batched adaptation (parallel/batched_online.py)
+    S = 3
+    vchunk = jax.jit(jax.vmap(make_chunk_fn(mcfg, ocfg)),
+                     donate_argnums=(0, 1))
+    stack = lambda tree: jax.tree.map(  # noqa: E731
+        lambda a: jnp.stack([a] * S), tree)
+    vp = stack(params)
+    vopt = jax.vmap(lambda p: tx.init(p))(stack(params))
+    vimgs = jnp.stack([pool_imgs] * S)
+    vmasks = jnp.stack([pool_masks] * S)
+    vkeys = jnp.stack([jax.random.split(jax.random.PRNGKey(2 + i), steps)
+                       for i in range(S)])
+    batched_ms = timed(vchunk, vp, vopt, vimgs, vmasks, vkeys) / S
+
+    return {
+        "train_mode": mode,
+        "online_ms_per_step": round(serial_ms, 2),
+        "online_s_per_sequence": round(serial_ms * 2.0, 1),
+        "batched_ms_per_step_per_seq": round(batched_ms, 2),
+        "batched_s_per_seq_v5e8_proj": round(batched_ms * 2.0, 1),
+    }
 
 
 if __name__ == "__main__":

@@ -76,24 +76,36 @@ def main() -> None:
     else:
         config = ModelConfig(compute_mode=args.compute_mode)
 
+    def image_like(n, seed0):
+        # synthetic DAVIS-statistics frames, preprocessed like the loader
+        # (BGR - caffe mean) — honest activation ranges for calibration
+        # and timing (VERDICT r1: don't calibrate int8 on noise)
+        from osvos_tpu.configs import MEANVAL_BGR
+        from osvos_tpu.data.synthetic import _frame
+
+        frames = [
+            _frame(args.height, args.width, t=0.7 * i, seed=seed0 + i)[0]
+            for i in range(n)
+        ]
+        arr = np.stack(frames).astype(np.float32)
+        return jnp.asarray(arr[..., ::-1] - np.asarray(MEANVAL_BGR,
+                                                       np.float32))
+
     params = init_osvos_params(jax.random.PRNGKey(0), config,
                                input_hw=(64, 112))
     if args.compute_mode == "int8":
         # static activation scales from a quick self-calibration pass
         from osvos_tpu.models.quantize import calibrate_int8_scales
 
-        rng_cal = np.random.RandomState(1)
-        cal = jnp.asarray(rng_cal.randn(2, args.height, args.width, 3)
-                          .astype(np.float32) * 30)
         import dataclasses as _dc
 
         config = _dc.replace(
-            config, int8_scales=calibrate_int8_scales(params, cal, config))
+            config,
+            int8_scales=calibrate_int8_scales(params, image_like(2, 100),
+                                              config))
     infer = make_infer_fn(config)
 
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(args.batch, args.height, args.width, 3)
-                    .astype(np.float32) * 30)
+    x = image_like(args.batch, 0)
 
     for _ in range(args.warmup):
         jax.block_until_ready(infer(params, x))

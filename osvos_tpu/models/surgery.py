@@ -45,7 +45,17 @@ def init_osvos_params(
     New-layer init matches the reference: side_prep/score_dsn/fuse kernels
     ~ N(0, 0.001), biases zero.
     """
-    model = OSVOS(config)
+    # Init with the train-safe 'fast' twin when the requested mode can't
+    # (int8 asserts out of training) or shouldn't (flat would compile its
+    # Pallas kernels for a throwaway dummy geometry) trace a train pass —
+    # the param tree is identical across compute modes (tested:
+    # tests/test_flat.py::test_flat_model_param_tree_matches_fast).
+    init_config = config
+    if config.compute_mode in ("int8", "flat"):
+        import dataclasses
+
+        init_config = dataclasses.replace(config, compute_mode="fast")
+    model = OSVOS(init_config)
     dummy = jnp.zeros((1, input_hw[0], input_hw[1], 3), jnp.float32)
     params = model.init(key, dummy)["params"]
     params = jax.tree.map(np.asarray, params)

@@ -26,7 +26,9 @@ Kernel recipe (shared by all three passes):
   (HBM->VMEM) per tile from the 16-aligned offset ``b - wp`` with the +-1
   row halo riding inside the over-read; weights/aux stream through the
   auto-pipeline.
-- the nine taps run as three phases over aligned lhs offsets ``kh*wp``:
+- the nine taps run as three phases over aligned lhs offsets
+  ``16 + kh*wp`` (the scratch carries a 16-row DMA'd lead so the -1 shift
+  has real halo data below it):
   phase kw=1 on the raw buffer, then an in-place +1 row shift (u32
   pair-packed ``(v>>16)|(roll<<16)`` trick) for kw=2, then an in-place
   -2 row shift (a plain one-word downward roll) for kw=0. Each phase's
@@ -139,16 +141,23 @@ def _pick_d_blk(d_pad: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+_LEAD_ROWS = 16  # DMA'd lead rows so shifted taps never read below 0
+
+
 def _shift_up_1(xs, n_rows: int) -> None:
     """In-place xs[r] <- xs[r+1] on the bf16 pair-packed u32 view.
 
-    Chunks walk upward; each reads 2 rows past its write window, so the
-    next chunk's source is untouched (same trick as pallas/wgrad.py).
+    Operates on the tap region (words 8..8+n_rows/2+8; the 16-row lead
+    needs no shifting). Chunks walk upward; each reads 2 rows past its
+    write window, so the next chunk's source is untouched. Every ref
+    read/write lands on a 16-row boundary — odd word offsets only appear
+    as sub-slices of an already-read value (register shuffles), which is
+    what keeps Mosaic's lowering (and compile time) sane.
     """
     n_sh = n_rows // 2 + 8
     ch = _round_up(-(-n_sh // 8), 8)
-    for a in range(0, n_sh, ch):
-        b = min(a + ch, n_sh)
+    for a in range(8, 8 + n_sh, ch):
+        b = min(a + ch, 8 + n_sh)
         wv = pltpu.bitcast(xs[pl.ds(2 * a, 2 * (b - a) + 2), :], jnp.uint32)
         va, vb = wv[0:b - a], wv[1:b - a + 1]
         xs[pl.ds(2 * a, 2 * (b - a)), :] = pltpu.bitcast(
@@ -156,20 +165,22 @@ def _shift_up_1(xs, n_rows: int) -> None:
 
 
 def _shift_down_2(xs, n_rows: int) -> None:
-    """In-place xs[r] <- xs[r-2]: a plain one-word downward roll.
+    """In-place xs[r] <- xs[r-2] (one u32 word down) over the tap region.
 
-    Chunks walk downward; each chunk reads the word just below its write
-    window, which later (lower) chunks have not yet written. Word 0 has no
-    source (rows -2/-1): rows 0..1 are fixed up by the caller.
+    Chunks walk downward; each reads an aligned window starting 8 words
+    below its write window (valid data: the 16-row lead), selects the
+    off-by-one words as a value sub-slice, and writes aligned. Lower
+    chunks' sources are untouched until their own turn.
     """
     n_sh = n_rows // 2 + 8
     ch = _round_up(-(-n_sh // 8), 8)
-    starts = list(range(1, n_sh, ch))
+    starts = list(range(8, 8 + n_sh, ch))
     for a in reversed(starts):
-        b = min(a + ch, n_sh)
-        wv = pltpu.bitcast(xs[pl.ds(2 * (a - 1), 2 * (b - a)), :],
+        b = min(a + ch, 8 + n_sh)
+        wv = pltpu.bitcast(xs[pl.ds(2 * (a - 8), 2 * (b - a) + 16), :],
                            jnp.uint32)
-        xs[pl.ds(2 * a, 2 * (b - a)), :] = pltpu.bitcast(wv, jnp.bfloat16)
+        xs[pl.ds(2 * a, 2 * (b - a)), :] = pltpu.bitcast(
+            wv[7:7 + (b - a)], jnp.bfloat16)
 
 
 def _ordered_after(anchor, fn):
@@ -196,7 +207,7 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
                 relu_input: bool):
     wp, t = g_in.wp, g_in.t
     k_rows = g_in.block_rows
-    xs_rows = (t + 2) * wp + 32
+    xs_rows = _LEAD_ROWS + (t + 2) * wp + 32
     jt, last = g_in.jt, g_in.total_tiles - 1
 
     def kernel(xf_hbm, kref, bref, out_ref, xs, acc, sem):
@@ -209,9 +220,9 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
 
         @pl.when(jnp.logical_not(edge))
         def _():
-            b = tt * k_rows
+            off = pl.multiple_of((tt * t - 1) * wp - _LEAD_ROWS, 16)
             dma = pltpu.make_async_copy(
-                xf_hbm.at[pl.ds(b - wp, xs_rows)], xs, sem)
+                xf_hbm.at[pl.ds(off, xs_rows)], xs, sem)
             dma.start()
             dma.wait()
             if relu_input:
@@ -220,7 +231,7 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
             def taps(kw, first):
                 for kh in range(3):
                     d = jax.lax.dot_general(
-                        xs[pl.ds(kh * wp, k_rows), :], kref[kh * 3 + kw],
+                        xs[pl.ds(_LEAD_ROWS + kh * wp, k_rows), :], kref[kh * 3 + kw],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
                     if first and kh == 0:
@@ -234,8 +245,6 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
 
             def back2():
                 _shift_down_2(xs, (t + 2) * wp)
-                xs[pl.ds(0, 2), :] = jnp.zeros((2, xs.shape[1]),
-                                               jnp.bfloat16)
 
             _ordered_after(acc[0, 1], back2)
             taps(0, False)
@@ -267,7 +276,7 @@ def _flat_conv_fwd_impl(zf: jnp.ndarray, kernel: jnp.ndarray,
     bp = jnp.pad(bias.astype(jnp.float32), (0, d_pad - d))[None, :]
 
     g_out = dataclasses.replace(g_in, c=d)
-    xs_rows = (g_in.t + 2) * g_in.wp + 32
+    xs_rows = _LEAD_ROWS + (g_in.t + 2) * g_in.wp + 32
     out = pl.pallas_call(
         _fwd_kernel(g_in, g_in.h, g_in.w, relu_input),
         out_shape=jax.ShapeDtypeStruct((g_out.rows, d_pad), jnp.bfloat16),
@@ -300,7 +309,7 @@ def _flat_conv_fwd_impl(zf: jnp.ndarray, kernel: jnp.ndarray,
 def _dgrad_kernel(g_geom: FlatGeom):
     wp, t = g_geom.wp, g_geom.t
     k_rows = g_geom.block_rows
-    xs_rows = (t + 2) * wp + 32
+    xs_rows = _LEAD_ROWS + (t + 2) * wp + 32
     last = g_geom.total_tiles - 1
 
     def kernel(gf_hbm, kref, zref, out_ref, xs, acc, sem):
@@ -313,16 +322,16 @@ def _dgrad_kernel(g_geom: FlatGeom):
 
         @pl.when(jnp.logical_not(edge))
         def _():
-            b = tt * k_rows
+            off = pl.multiple_of((tt * t - 1) * wp - _LEAD_ROWS, 16)
             dma = pltpu.make_async_copy(
-                gf_hbm.at[pl.ds(b - wp, xs_rows)], xs, sem)
+                gf_hbm.at[pl.ds(off, xs_rows)], xs, sem)
             dma.start()
             dma.wait()
 
             def taps(kw, first):
                 for kh in range(3):
                     d = jax.lax.dot_general(
-                        xs[pl.ds(kh * wp, k_rows), :], kref[kh * 3 + kw],
+                        xs[pl.ds(_LEAD_ROWS + kh * wp, k_rows), :], kref[kh * 3 + kw],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
                     if first and kh == 0:
@@ -336,8 +345,6 @@ def _dgrad_kernel(g_geom: FlatGeom):
 
             def back2():
                 _shift_down_2(xs, (t + 2) * wp)
-                xs[pl.ds(0, 2), :] = jnp.zeros((2, xs.shape[1]),
-                                               jnp.bfloat16)
 
             _ordered_after(acc[0, 1], back2)
             taps(0, False)
@@ -363,7 +370,7 @@ def _flat_conv_dgrad_impl(gf: jnp.ndarray, kernel: jnp.ndarray,
     kp = kp.reshape(9, d_pad, c_pad)
 
     g_geom = dataclasses.replace(g_in, c=d)
-    xs_rows = (g_in.t + 2) * g_in.wp + 32
+    xs_rows = _LEAD_ROWS + (g_in.t + 2) * g_in.wp + 32
     out = pl.pallas_call(
         _dgrad_kernel(g_geom),
         out_shape=jax.ShapeDtypeStruct((g_in.rows, c_pad), jnp.bfloat16),
@@ -396,7 +403,7 @@ def _flat_conv_dgrad_impl(gf: jnp.ndarray, kernel: jnp.ndarray,
 def _wgrad_kernel(g_in: FlatGeom, relu_input: bool):
     wp, t = g_in.wp, g_in.t
     k_rows = g_in.block_rows
-    xs_rows = (t + 2) * wp + 32
+    xs_rows = _LEAD_ROWS + (t + 2) * wp + 32
     last = g_in.total_tiles - 1
 
     def kernel(xf_hbm, g_ref, out_ref, db_ref, xs, sem):
@@ -410,9 +417,9 @@ def _wgrad_kernel(g_in: FlatGeom, relu_input: bool):
 
         @pl.when(jnp.logical_not(edge))
         def _():
-            b = tt * k_rows
+            off = pl.multiple_of((tt * t - 1) * wp - _LEAD_ROWS, 16)
             dma = pltpu.make_async_copy(
-                xf_hbm.at[pl.ds(b - wp, xs_rows)], xs, sem)
+                xf_hbm.at[pl.ds(off, xs_rows)], xs, sem)
             dma.start()
             dma.wait()
             if relu_input:
@@ -421,7 +428,7 @@ def _wgrad_kernel(g_in: FlatGeom, relu_input: bool):
             def taps(kw):
                 for kh in range(3):
                     out_ref[kh * 3 + kw] += jax.lax.dot_general(
-                        xs[pl.ds(kh * wp, k_rows), :], g_ref[...],
+                        xs[pl.ds(_LEAD_ROWS + kh * wp, k_rows), :], g_ref[...],
                         (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
 
@@ -432,8 +439,6 @@ def _wgrad_kernel(g_in: FlatGeom, relu_input: bool):
 
             def back2():
                 _shift_down_2(xs, (t + 2) * wp)
-                xs[pl.ds(0, 2), :] = jnp.zeros((2, xs.shape[1]),
-                                               jnp.bfloat16)
 
             _ordered_after(out_ref[8, 0, 0], back2)
             taps(0)
@@ -452,7 +457,7 @@ def _flat_conv_wgrad_impl(zf: jnp.ndarray, gf: jnp.ndarray, g_in: FlatGeom,
     d_pad = _round_up(d, 128)
     d_blk = _pick_d_blk(d_pad)
     d_tiles = d_pad // d_blk
-    xs_rows = (g_in.t + 2) * g_in.wp + 32
+    xs_rows = _LEAD_ROWS + (g_in.t + 2) * g_in.wp + 32
 
     dk, db = pl.pallas_call(
         _wgrad_kernel(g_in, relu_input),

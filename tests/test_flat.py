@@ -180,3 +180,19 @@ def test_flat_model_grads_match_fast(rng):
                                    atol=6e-2 * scale, err_msg=str(path))
         checked += 1
     assert checked == len(flat_leaves)
+
+
+def test_init_osvos_params_all_compute_modes():
+    """init must work for every compute mode (r2 regression: the int8
+    train-assert broke bench.py's default path via init's train trace)."""
+    import jax
+    from osvos_tpu.models import init_osvos_params
+    from osvos_tpu.configs import ModelConfig
+    ref = None
+    for mode in ["fast", "parity", "int8", "flat"]:
+        p = init_osvos_params(jax.random.PRNGKey(0),
+                              ModelConfig(compute_mode=mode, **TINY),
+                              input_hw=(16, 24))
+        s = jax.tree.structure(p)
+        ref = ref or s
+        assert s == ref, mode

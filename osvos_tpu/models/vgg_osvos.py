@@ -153,27 +153,17 @@ class OSVOS(nn.Module):
         # stem conv stays bf16 (negligible FLOPs, large relative error).
         return self.config.compute_mode == "int8" and in_feats >= 8
 
-    def _flat_stage(self, z: jnp.ndarray, widths, sname: str,
-                    j0: int) -> jnp.ndarray:
-        """Run a stage's 3x3 convs in the flat layout.
+    def _flat_convs(self, zf, g, widths, sname: str, j0: int,
+                    interpret: bool):
+        """Chain flat 3x3 convs over a stage; returns (zf, g) after."""
+        from osvos_tpu.ops.pallas.flatconv import flat_conv3x3
 
-        z: (N, H, W, C) PRE-activation NHWC (the kernels ReLU internally);
-        returns the stage's last conv output, pre-activation NHWC.
-        """
-        from osvos_tpu.ops.pallas.flatconv import (FlatGeom, flat_conv3x3,
-                                                   from_flat, stage_t,
-                                                   to_flat)
-
-        interpret = jax.default_backend() != "tpu"
-        n, h, w, c = z.shape
-        g = FlatGeom(n=n, h=h, w=w, c=c, t=stage_t(h))
-        zf = to_flat(z, g)
         for j, width in enumerate(widths, start=j0):
             kernel, bias = _ConvParams3x3(in_features=g.c, features=width,
                                           name=f"{sname}_conv{j}")()
             zf = flat_conv3x3(zf, kernel, bias, g, True, interpret)
             g = dataclasses.replace(g, c=width)
-        return from_flat(zf, g)
+        return zf, g
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mode: str = "train") -> List[jnp.ndarray]:
@@ -236,16 +226,28 @@ class OSVOS(nn.Module):
         fuse_kernel, fuse_bias = _Conv1x1Params(
             in_features=n_sides * cfg.side_channels, name="fuse")()
 
-        # 'flat' trunk: x carries PRE-activation z between layers (the
-        # flat kernels ReLU their input; max pool commutes with ReLU, so
-        # pooling z then ReLU-ing at the consumers is exact).
+        # 'flat' trunk: everything from the image to the side taps stays
+        # in the flat layout — stem, stage convs, pooling and side_prep
+        # all run on flat pre-activation buffers (the kernels ReLU their
+        # input; max pool commutes with ReLU, so pooling z is exact). The
+        # only NHWC materializations are the tiny 16-channel side_temps.
         flat = cfg.compute_mode == "flat"
-
-        # Stage 1 (no pooling before it).
         if flat:
-            # stem stays XLA (C=3 taps would waste the MXU); output pre-relu
-            x = trunk_conv(x, cfg.stages[0][0], "stage1_conv0")
-            x = self._flat_stage(x, cfg.stages[0][1:], "stage1", 1)
+            from osvos_tpu.ops.pallas.flatconv import (
+                FlatGeom, flat_conv3x3, flat_conv3x3_input, from_flat,
+                pool_flat, pool_out_geom, stage_t, to_flat)
+
+            interp = jax.default_backend() != "tpu"
+            n, hh, ww = x.shape[0], x.shape[1], x.shape[2]
+            g = FlatGeom(n=n, h=hh, w=ww, c=x.shape[3], t=stage_t(hh))
+            zf = to_flat(x, g)
+            k0, b0 = _ConvParams3x3(in_features=g.c,
+                                    features=cfg.stages[0][0],
+                                    name="stage1_conv0")()
+            zf = flat_conv3x3_input(zf, k0, b0, g, interp)
+            g = dataclasses.replace(g, c=cfg.stages[0][0])
+            zf, g = self._flat_convs(zf, g, cfg.stages[0][1:], "stage1", 1,
+                                     interp)
         else:
             for j, width in enumerate(cfg.stages[0]):
                 x = nn.relu(trunk_conv(x, width, f"stage1_conv{j}"))
@@ -254,16 +256,30 @@ class OSVOS(nn.Module):
         side_logits: List[jnp.ndarray] = []
         fused_contribs: List[jnp.ndarray] = []
         for i, widths in enumerate(cfg.stages[1:], start=1):
-            x = max_pool_ceil(x)
             if flat:
-                x = self._flat_stage(x, widths, f"stage{i + 1}", 0)
-                x_act = nn.relu(x)
+                g2 = pool_out_geom(g, stage_t(-(-g.h // 2)))
+                zf = pool_flat(zf, g, g2)
+                g = g2
+                zf, g = self._flat_convs(zf, g, widths, f"stage{i + 1}", 0,
+                                         interp)
+                ks, bs = _ConvParams3x3(in_features=g.c,
+                                        features=cfg.side_channels,
+                                        name=f"side_prep{i}")()
+                # bias is added in XLA (not the kernel epilogue): its
+                # gradient is cancellation-heavy and this keeps the same
+                # excess-precision reduce the 'fast' path gets.
+                sf = flat_conv3x3(zf, ks, jnp.zeros_like(bs), g, True,
+                                  interp)
+                side_temp = from_flat(
+                    sf, dataclasses.replace(g, c=cfg.side_channels))
+                side_temp = side_temp + bs.astype(side_temp.dtype)
             else:
+                x = max_pool_ceil(x)
                 for j, width in enumerate(widths):
                     x = nn.relu(trunk_conv(x, width, f"stage{i + 1}_conv{j}"))
-                x_act = x
             factor = 2 ** i
-            side_temp = conv(cfg.side_channels, 3, f"side_prep{i}")(x_act)
+            if not flat:
+                side_temp = conv(cfg.side_channels, 3, f"side_prep{i}")(x)
 
             if mode in ("infer", "infer_parts"):
                 # collapse to the fused channel at low res, then upsample

@@ -13,13 +13,17 @@ bias-grad) rides inside the kernels' prologues/epilogues, so between
 kernels there is zero elementwise traffic and zero relayouts.
 
 Flat layout (``FlatGeom``): image pixel (n, h, w) lives at flat row
-``lead + n*hp*wp + (h+1)*wp + (w+1)`` with ``wp = round_up(w+2, 16)``
-(>=1 zero column left and right), ``hp = round_up(h+2, t)`` (one zero row
-above, >=1 below), ``lead = t*wp`` (one block of zero rows so the first
-block's halo DMA never reads a negative offset) and one trailing zero
-block absorbing the DMA over-read. Zero padding is load-bearing: a conv
-tap (kh, kw) is then exactly the row offset ``(kh-1)*wp + (kw-1)`` and
-cross-row/cross-image contributions vanish against the zeros.
+``lead + n*hp*wp + (h+2)*wp + (w+2)`` with ``wp = round_up(w+4, 16)``
+(TWO zero columns left, >=2 right), ``hp = round_up(h+4, t)`` (two zero
+rows above, >=2 below), ``lead = t*wp`` (one block of zero rows so the
+first block's halo DMA never reads a negative offset) and one trailing
+zero block absorbing the DMA over-read. Zero padding is load-bearing
+twice over: a conv tap (kh, kw) is exactly the row offset
+``(kh-1)*wp + (kw-1)`` with cross-row/cross-image contributions vanishing
+against the zeros, and the EVEN pad offset makes 2x2 pooling an aligned
+pairwise reduction directly on the flat view (pool_flat) — pixel pair
+(2h, 2h+1) sits at padded pair index h+1, so no repacking is needed
+between conv and pool.
 
 Kernel recipe (shared by all three passes):
 - grid ``(d_tiles, total_tiles)``; the activation input is DMA'd manually
@@ -80,11 +84,11 @@ class FlatGeom:
 
     @property
     def wp(self) -> int:
-        return _round_up(self.w + 2, 16)
+        return _round_up(self.w + 4, 16)
 
     @property
     def hp(self) -> int:
-        return _round_up(self.h + 2, self.t)
+        return _round_up(self.h + 4, self.t)
 
     @property
     def c_pad(self) -> int:
@@ -119,7 +123,7 @@ def stage_t(h: int) -> int:
 def to_flat(x: jnp.ndarray, g: FlatGeom) -> jnp.ndarray:
     """(n, h, w, c) -> (rows, c_pad) bf16 flat buffer (zero-padded)."""
     core = jnp.pad(x.astype(jnp.bfloat16),
-                   ((0, 0), (1, g.hp - g.h - 1), (1, g.wp - g.w - 1),
+                   ((0, 0), (2, g.hp - g.h - 2), (2, g.wp - g.w - 2),
                     (0, g.c_pad - g.c)))
     core = core.reshape(g.n * g.hp * g.wp, g.c_pad)
     return jnp.pad(core, ((g.lead, g.block_rows), (0, 0)))
@@ -129,11 +133,7 @@ def from_flat(zf: jnp.ndarray, g: FlatGeom) -> jnp.ndarray:
     """(rows, c_pad) -> (n, h, w, c) bf16 (lazy slices; XLA fuses)."""
     z = zf[g.lead:g.lead + g.n * g.hp * g.wp, :g.c]
     z = z.reshape(g.n, g.hp, g.wp, g.c)
-    return z[:, 1:g.h + 1, 1:g.w + 1, :]
-
-
-def _pick_d_blk(d_pad: int) -> int:
-    return min(d_pad, 256)
+    return z[:, 2:g.h + 2, 2:g.w + 2, :]
 
 
 # ---------------------------------------------------------------------------
@@ -198,6 +198,70 @@ def _ordered_after(anchor, fn):
         fn()
 
 
+def _with_prefetched_xs(src_hbm, xs0, xs1, sem, tt, t: int, wp: int,
+                        xs_rows: int, last: int, body) -> None:
+    """Double-buffered halo DMA across grid steps.
+
+    The back-to-back ``start(); wait()`` form serializes every tile's
+    activation transfer with its compute — measured as ~1.4-2.5 ms of
+    fixed overhead per kernel call, dominating the dots (which run at
+    ~160 TF/s once resident). Here tile tt+1's window is started before
+    tile tt is waited on, so the copy rides under the dots. ``body(xs)``
+    runs on the slot holding tile tt and may destroy it in place (the kw
+    shifts); the in-flight copy always targets the other slot. The
+    leading edge tile (tt == 0, present in every d-tile sweep) warms the
+    pipeline by starting tile 1's copy.
+    """
+
+    def dma(tile_idx, xs_ref, sem_ref):
+        off = pl.multiple_of((tile_idx * t - 1) * wp - _LEAD_ROWS, 16)
+        return pltpu.make_async_copy(src_hbm.at[pl.ds(off, xs_rows)],
+                                     xs_ref, sem_ref)
+
+    @pl.when(tt == 0)
+    def _():
+        dma(1, xs1, sem.at[1]).start()
+
+    interior = (tt >= 1) & (tt < last)
+
+    @pl.when(interior & (tt + 1 < last) & (tt % 2 == 1))
+    def _():
+        dma(tt + 1, xs0, sem.at[0]).start()
+
+    @pl.when(interior & (tt + 1 < last) & (tt % 2 == 0))
+    def _():
+        dma(tt + 1, xs1, sem.at[1]).start()
+
+    @pl.when(interior & (tt % 2 == 1))
+    def _():
+        dma(tt, xs1, sem.at[1]).wait()
+        body(xs1)
+
+    @pl.when(interior & (tt % 2 == 0))
+    def _():
+        dma(tt, xs0, sem.at[0]).wait()
+        body(xs0)
+
+
+def _pick_out_blk(t: int, wp: int, c_contract: int, out_pad: int,
+                  n_aux_streams: int) -> int:
+    """Largest output-channel block keeping the kernel inside ~13 MB VMEM
+    (2x halo scratch + f32 accumulator + double-buffered out/aux pipeline
+    blocks + double-buffered weight slice)."""
+    xs_rows = _LEAD_ROWS + (t + 2) * wp + 32
+    k_rows = t * wp
+    fixed = 2 * xs_rows * c_contract * 2
+    for blk in (512, 256, 128):
+        if blk > out_pad or out_pad % blk:
+            continue
+        tot = (fixed + k_rows * blk * 4
+               + 2 * k_rows * blk * 2 * (1 + n_aux_streams)
+               + 2 * 9 * c_contract * blk * 2)
+        if tot <= 13 * 2 ** 20:
+            return blk
+    return 128
+
+
 # ---------------------------------------------------------------------------
 # forward kernel: z_out = conv3x3(relu(z_in)) @ K + bias   (pads masked to 0)
 # ---------------------------------------------------------------------------
@@ -210,7 +274,7 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
     xs_rows = _LEAD_ROWS + (t + 2) * wp + 32
     jt, last = g_in.jt, g_in.total_tiles - 1
 
-    def kernel(xf_hbm, kref, bref, out_ref, xs, acc, sem):
+    def kernel(xf_hbm, kref, bref, out_ref, xs0, xs1, acc, sem):
         tt = pl.program_id(1)
         edge = (tt == 0) | (tt == last)
 
@@ -218,20 +282,15 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        @pl.when(jnp.logical_not(edge))
-        def _():
-            off = pl.multiple_of((tt * t - 1) * wp - _LEAD_ROWS, 16)
-            dma = pltpu.make_async_copy(
-                xf_hbm.at[pl.ds(off, xs_rows)], xs, sem)
-            dma.start()
-            dma.wait()
+        def body(xs):
             if relu_input:
                 xs[...] = jnp.maximum(xs[...], jnp.bfloat16(0))
 
             def taps(kw, first):
                 for kh in range(3):
                     d = jax.lax.dot_general(
-                        xs[pl.ds(_LEAD_ROWS + kh * wp, k_rows), :], kref[kh * 3 + kw],
+                        xs[pl.ds(_LEAD_ROWS + kh * wp, k_rows), :],
+                        kref[kh * 3 + kw],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
                     if first and kh == 0:
@@ -242,11 +301,7 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
             taps(1, True)
             _ordered_after(acc[0, 0], lambda: _shift_up_1(xs, (t + 2) * wp))
             taps(2, False)
-
-            def back2():
-                _shift_down_2(xs, (t + 2) * wp)
-
-            _ordered_after(acc[0, 1], back2)
+            _ordered_after(acc[0, 1], lambda: _shift_down_2(xs, (t + 2) * wp))
             taps(0, False)
 
             # epilogue: bias + validity mask (pad rows/cols stay zero)
@@ -254,10 +309,13 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
             it = jax.lax.broadcasted_iota(jnp.int32, (k_rows, 1), 0)
             h_p = j * t + it // wp
             w_p = it % wp
-            valid = ((h_p >= 1) & (h_p <= h_out_valid)
-                     & (w_p >= 1) & (w_p <= w_out_valid))
+            valid = ((h_p >= 2) & (h_p <= h_out_valid + 1)
+                     & (w_p >= 2) & (w_p <= w_out_valid + 1))
             out = acc[...] + bref[0][None, :]
             out_ref[...] = jnp.where(valid, out, 0.0).astype(out_ref.dtype)
+
+        _with_prefetched_xs(xf_hbm, xs0, xs1, sem, tt, t, wp, xs_rows, last,
+                            body)
 
     return kernel
 
@@ -268,7 +326,7 @@ def _flat_conv_fwd_impl(zf: jnp.ndarray, kernel: jnp.ndarray,
     """zf: (rows, c_pad) bf16; kernel: (3, 3, C, D); bias: (D,)."""
     c, c_pad = g_in.c, g_in.c_pad
     d_pad = _round_up(d, 128)
-    d_blk = _pick_d_blk(d_pad)
+    d_blk = _pick_out_blk(g_in.t, g_in.wp, c_pad, d_pad, 0)
     d_tiles = d_pad // d_blk
     kp = jnp.pad(kernel.astype(jnp.bfloat16),
                  ((0, 0), (0, 0), (0, c_pad - c), (0, d_pad - d)))
@@ -293,8 +351,9 @@ def _flat_conv_fwd_impl(zf: jnp.ndarray, kernel: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16),
+            pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16),
             pltpu.VMEM((g_in.block_rows, d_blk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(zf, kp, bp)
@@ -312,7 +371,7 @@ def _dgrad_kernel(g_geom: FlatGeom):
     xs_rows = _LEAD_ROWS + (t + 2) * wp + 32
     last = g_geom.total_tiles - 1
 
-    def kernel(gf_hbm, kref, zref, out_ref, xs, acc, sem):
+    def kernel(gf_hbm, kref, zref, out_ref, xs0, xs1, acc, sem):
         tt = pl.program_id(1)
         edge = (tt == 0) | (tt == last)
 
@@ -320,18 +379,12 @@ def _dgrad_kernel(g_geom: FlatGeom):
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        @pl.when(jnp.logical_not(edge))
-        def _():
-            off = pl.multiple_of((tt * t - 1) * wp - _LEAD_ROWS, 16)
-            dma = pltpu.make_async_copy(
-                gf_hbm.at[pl.ds(off, xs_rows)], xs, sem)
-            dma.start()
-            dma.wait()
-
+        def body(xs):
             def taps(kw, first):
                 for kh in range(3):
                     d = jax.lax.dot_general(
-                        xs[pl.ds(_LEAD_ROWS + kh * wp, k_rows), :], kref[kh * 3 + kw],
+                        xs[pl.ds(_LEAD_ROWS + kh * wp, k_rows), :],
+                        kref[kh * 3 + kw],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
                     if first and kh == 0:
@@ -342,16 +395,18 @@ def _dgrad_kernel(g_geom: FlatGeom):
             taps(1, True)
             _ordered_after(acc[0, 0], lambda: _shift_up_1(xs, (t + 2) * wp))
             taps(2, False)
-
-            def back2():
-                _shift_down_2(xs, (t + 2) * wp)
-
-            _ordered_after(acc[0, 1], back2)
+            _ordered_after(acc[0, 1], lambda: _shift_down_2(xs, (t + 2) * wp))
             taps(0, False)
 
-            # ReLU backward + pad mask in one: z's pads are zero.
-            out_ref[...] = jnp.where(zref[...] > 0, acc[...],
+            # ReLU backward + pad mask in one: z's pads are zero. The
+            # compare runs in f32 — Mosaic rejects bf16 comparisons on
+            # this target ("Target does not support this comparison").
+            zmask = zref[...].astype(jnp.float32) > 0.0
+            out_ref[...] = jnp.where(zmask, acc[...],
                                      0.0).astype(out_ref.dtype)
+
+        _with_prefetched_xs(gf_hbm, xs0, xs1, sem, tt, t, wp, xs_rows, last,
+                            body)
 
     return kernel
 
@@ -362,7 +417,7 @@ def _flat_conv_dgrad_impl(gf: jnp.ndarray, kernel: jnp.ndarray,
     """gf: (rows, d_pad) cotangent of z_out; returns dz_in (rows, c_pad)."""
     c, c_pad = g_in.c, g_in.c_pad
     d_pad = _round_up(d, 128)
-    o_blk = _pick_d_blk(c_pad)
+    o_blk = _pick_out_blk(g_in.t, g_in.wp, d_pad, c_pad, 1)
     o_tiles = c_pad // o_blk
     # dgrad conv kernel: spatial flip + in/out channel swap
     kflip = kernel.astype(jnp.bfloat16)[::-1, ::-1].transpose(0, 1, 3, 2)
@@ -387,8 +442,9 @@ def _flat_conv_dgrad_impl(gf: jnp.ndarray, kernel: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((xs_rows, d_pad), jnp.bfloat16),
+            pltpu.VMEM((xs_rows, d_pad), jnp.bfloat16),
             pltpu.VMEM((g_in.block_rows, o_blk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(gf, kp, zf_in)
@@ -406,7 +462,7 @@ def _wgrad_kernel(g_in: FlatGeom, relu_input: bool):
     xs_rows = _LEAD_ROWS + (t + 2) * wp + 32
     last = g_in.total_tiles - 1
 
-    def kernel(xf_hbm, g_ref, out_ref, db_ref, xs, sem):
+    def kernel(xf_hbm, g_ref, out_ref, db_ref, xs0, xs1, sem):
         tt = pl.program_id(1)
         edge = (tt == 0) | (tt == last)
 
@@ -415,20 +471,15 @@ def _wgrad_kernel(g_in: FlatGeom, relu_input: bool):
             out_ref[...] = jnp.zeros_like(out_ref)
             db_ref[...] = jnp.zeros_like(db_ref)
 
-        @pl.when(jnp.logical_not(edge))
-        def _():
-            off = pl.multiple_of((tt * t - 1) * wp - _LEAD_ROWS, 16)
-            dma = pltpu.make_async_copy(
-                xf_hbm.at[pl.ds(off, xs_rows)], xs, sem)
-            dma.start()
-            dma.wait()
+        def body(xs):
             if relu_input:
                 xs[...] = jnp.maximum(xs[...], jnp.bfloat16(0))
 
             def taps(kw):
                 for kh in range(3):
                     out_ref[kh * 3 + kw] += jax.lax.dot_general(
-                        xs[pl.ds(_LEAD_ROWS + kh * wp, k_rows), :], g_ref[...],
+                        xs[pl.ds(_LEAD_ROWS + kh * wp, k_rows), :],
+                        g_ref[...],
                         (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
 
@@ -436,15 +487,15 @@ def _wgrad_kernel(g_in: FlatGeom, relu_input: bool):
             _ordered_after(out_ref[7, 0, 0],
                            lambda: _shift_up_1(xs, (t + 2) * wp))
             taps(2)
-
-            def back2():
-                _shift_down_2(xs, (t + 2) * wp)
-
-            _ordered_after(out_ref[8, 0, 0], back2)
+            _ordered_after(out_ref[8, 0, 0],
+                           lambda: _shift_down_2(xs, (t + 2) * wp))
             taps(0)
 
             db_ref[0:1, :] += jnp.sum(g_ref[...].astype(jnp.float32),
                                       axis=0, keepdims=True)
+
+        _with_prefetched_xs(xf_hbm, xs0, xs1, sem, tt, t, wp, xs_rows, last,
+                            body)
 
     return kernel
 
@@ -455,9 +506,20 @@ def _flat_conv_wgrad_impl(zf: jnp.ndarray, gf: jnp.ndarray, g_in: FlatGeom,
     """Returns (dk (3,3,C,D) f32, db (D,) f32)."""
     c, c_pad = g_in.c, g_in.c_pad
     d_pad = _round_up(d, 128)
-    d_blk = _pick_d_blk(d_pad)
-    d_tiles = d_pad // d_blk
     xs_rows = _LEAD_ROWS + (g_in.t + 2) * g_in.wp + 32
+    # budget: 2x xs halo scratch + double-buffered (9, c_pad, d_blk) f32
+    # result block + double-buffered g blocks <= ~13 MB
+    fixed = 2 * xs_rows * c_pad * 2
+    d_blk = 128
+    for blk in (512, 256, 128):
+        if blk > d_pad or d_pad % blk:
+            continue
+        tot = (fixed + 2 * 9 * c_pad * blk * 4
+               + 2 * g_in.block_rows * blk * 2)
+        if tot <= 13 * 2 ** 20:
+            d_blk = blk
+            break
+    d_tiles = d_pad // d_blk
 
     dk, db = pl.pallas_call(
         _wgrad_kernel(g_in, relu_input),
@@ -479,7 +541,8 @@ def _flat_conv_wgrad_impl(zf: jnp.ndarray, gf: jnp.ndarray, g_in: FlatGeom,
         ),
         scratch_shapes=[
             pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(zf, gf)
@@ -519,13 +582,23 @@ def _fc_fwd(zf, kernel, bias, g_in, relu_input, interpret):
 def _fc_bwd(g_in, relu_input, interpret, res, gf):
     zf, kernel = res
     d = kernel.shape[-1]
-    gf = gf.astype(jnp.bfloat16)
     if not relu_input:
         raise NotImplementedError(
             "flat_conv3x3 backward assumes a ReLU'd input (the VGG trunk "
             "always has one); forward-only use may pass relu_input=False")
+    # Head-adjacent convs (side_prep) receive an f32 cotangent; bias
+    # gradients are cancellation-heavy, so sum that one in f32 in XLA
+    # rather than through the kernel's (bf16-input) fused column-sum —
+    # matches the 'fast' path's precision. Trunk cotangents arrive bf16
+    # already and keep the free in-kernel db.
+    db_f32 = None
+    if gf.dtype != jnp.bfloat16:
+        db_f32 = jnp.sum(gf.astype(jnp.float32), axis=0)[:d]
+        gf = gf.astype(jnp.bfloat16)
     dz = _flat_conv_dgrad_impl(gf, kernel, zf, g_in, d, interpret)
     dk, db = _flat_conv_wgrad_impl(zf, gf, g_in, d, relu_input, interpret)
+    if db_f32 is not None:
+        db = db_f32
     return dz, dk.astype(kernel.dtype), db.astype(jnp.float32)
 
 
@@ -549,3 +622,124 @@ def flat_conv3x3_ref(zf, kernel, bias, g_in: FlatGeom,
     y = y + bias.astype(jnp.float32)
     g_out = dataclasses.replace(g_in, c=kernel.shape[-1])
     return to_flat(y, g_out)
+
+
+# ---------------------------------------------------------------------------
+# stem conv: consumes the raw image buffer (no input ReLU, no dz needed)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flat_conv3x3_input(zf, kernel, bias, g_in: FlatGeom,
+                       interpret: bool = False):
+    """Input-layer conv: like flat_conv3x3 but the input is NOT ReLU'd
+    (it is the preprocessed image) and no input cotangent is produced
+    (images are never differentiated — skipping the dgrad kernel saves a
+    full stage-1-sized pass in the backward)."""
+    return _flat_conv_fwd_impl(zf, kernel, bias, g_in, kernel.shape[-1],
+                               False, interpret)
+
+
+def _fci_fwd(zf, kernel, bias, g_in, interpret):
+    out = _flat_conv_fwd_impl(zf, kernel, bias, g_in, kernel.shape[-1],
+                              False, interpret)
+    return out, (zf, kernel)
+
+
+def _fci_bwd(g_in, interpret, res, gf):
+    zf, kernel = res
+    d = kernel.shape[-1]
+    gf = gf.astype(jnp.bfloat16)
+    dk, db = _flat_conv_wgrad_impl(zf, gf, g_in, d, False, interpret)
+    return jnp.zeros_like(zf), dk.astype(kernel.dtype), db
+
+
+flat_conv3x3_input.defvjp(_fci_fwd, _fci_bwd)
+
+
+# ---------------------------------------------------------------------------
+# pool: ceil-mode 2x2/2 max directly on the flat buffer
+# ---------------------------------------------------------------------------
+
+
+def pool_out_geom(g: FlatGeom, t_out: int) -> FlatGeom:
+    return FlatGeom(n=g.n, h=-(-g.h // 2), w=-(-g.w // 2), c=g.c, t=t_out)
+
+
+def _pool_view(zf, g: FlatGeom):
+    v = zf[g.lead:g.lead + g.n * g.hp * g.wp]
+    return v.reshape(g.n, g.hp, g.wp, g.c_pad)
+
+
+def _pool_masked(zf, g: FlatGeom):
+    """Padded view with invalid positions at -inf (ceil-mode windows must
+    ignore padding — zero pads would beat negative pre-activation values;
+    reference: MaxPool2d(2, 2, ceil_mode=True), networks/vgg_osvos.py)."""
+    v = _pool_view(zf, g)
+    hh = jax.lax.broadcasted_iota(jnp.int32, (g.hp, g.wp), 0)
+    ww = jax.lax.broadcasted_iota(jnp.int32, (g.hp, g.wp), 1)
+    valid = ((hh >= 2) & (hh < g.h + 2) & (ww >= 2) & (ww < g.w + 2))
+    return jnp.where(valid[None, :, :, None], v,
+                     jnp.asarray(-jnp.inf, v.dtype))
+
+
+def _pool_max(zf, g: FlatGeom):
+    """(n, hp/2, wp/2, c_pad) pairwise maxes; real out pixel (h, w) sits
+    at pair index (h+1, w+1) — the even 2-pad makes pairs aligned."""
+    m = _pool_masked(zf, g)
+    r = m.reshape(g.n, g.hp // 2, 2, g.wp // 2, 2, g.c_pad)
+    return jnp.max(jnp.max(r, axis=4), axis=2)
+
+
+def _embed_pool_out(m, g_out: FlatGeom):
+    """Place the pair-grid maxes into the 2-pad flat out buffer."""
+    h2, w2 = g_out.h, g_out.w
+    core = m[:, 1:h2 + 1, 1:w2 + 1, :g_out.c]
+    return to_flat(core, g_out)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def pool_flat(zf, g_in: FlatGeom, g_out: FlatGeom):
+    """Ceil-mode 2x2/2 max pool, flat buffer -> flat buffer.
+
+    Operates on PRE-activation z: max commutes with the consumers' ReLU,
+    and the backward tie-routing matches the reference chain exactly (see
+    ops/pool.py for the row-major-first argument; tested against the
+    torch oracle via the model-level flat-vs-fast tests).
+    """
+    return _embed_pool_out(_pool_max(zf, g_in), g_out)
+
+
+def _pf_fwd(zf, g_in, g_out):
+    m = _pool_max(zf, g_in)
+    return _embed_pool_out(m, g_out), (zf, m)
+
+
+def _pf_bwd(g_in: FlatGeom, g_out: FlatGeom, res, gf_out):
+    zf, m = res
+    # cotangent back onto the pair grid (pads contribute zero)
+    gv = _pool_view(gf_out, g_out)  # (n, hp2, wp2, c_pad)
+    gm = jnp.zeros((g_in.n, g_in.hp // 2, g_in.wp // 2, g_in.c_pad),
+                   gv.dtype)
+    gm = gm.at[:, 1:g_out.h + 1, 1:g_out.w + 1, :].set(
+        gv[:, 2:g_out.h + 2, 2:g_out.w + 2, :])
+    v = _pool_masked(zf, g_in)
+    r = v.reshape(g_in.n, g_in.hp // 2, 2, g_in.wp // 2, 2, g_in.c_pad)
+    a, b = r[:, :, 0, :, 0, :], r[:, :, 0, :, 1, :]
+    cc, d = r[:, :, 1, :, 0, :], r[:, :, 1, :, 1, :]
+    # row-major-first argmax tie routing (matches ops/pool.py _mp_bwd,
+    # which is tested against the torch oracle)
+    wa = a == m
+    wb = (b == m) & ~wa
+    wc = (cc == m) & ~wa & ~wb
+    wd = (d == m) & ~wa & ~wb & ~wc
+    z = jnp.zeros_like(gm)
+    row0 = jnp.stack([jnp.where(wa, gm, z), jnp.where(wb, gm, z)], axis=3)
+    row1 = jnp.stack([jnp.where(wc, gm, z), jnp.where(wd, gm, z)], axis=3)
+    dx = jnp.stack([row0, row1], axis=2).reshape(
+        g_in.n * g_in.hp * g_in.wp, g_in.c_pad)
+    dx = jnp.pad(dx, ((g_in.lead, g_in.block_rows), (0, 0)))
+    return (dx.astype(zf.dtype),)
+
+
+pool_flat.defvjp(_pf_fwd, _pf_bwd)

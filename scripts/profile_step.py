@@ -58,6 +58,8 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=5)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=854)
+    ap.add_argument("--mode", default="fast",
+                    choices=["fast", "flat", "parity", "int8"])
     args = ap.parse_args()
 
     import jax
@@ -66,7 +68,7 @@ def main() -> None:
     from osvos_tpu.configs import ModelConfig
     from osvos_tpu.models import OSVOS, init_osvos_params
 
-    cfg = ModelConfig(compute_mode="fast")
+    cfg = ModelConfig(compute_mode=args.mode)
     params = init_osvos_params(jax.random.PRNGKey(0), cfg, input_hw=(64, 112))
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(args.batch, args.height, args.width, 3)

@@ -56,7 +56,7 @@ def main() -> None:
     ap.add_argument("--weight_decay", type=float, default=0.0002)
     ap.add_argument("--momentum", type=float, default=0.9)
     ap.add_argument("--compute_mode", default="fast",
-                    choices=["fast", "parity"])
+                    choices=["fast", "parity", "flat"])
     ap.add_argument("--infer_mode", default=None,
                     choices=["fast", "parity", "int8"],
                     help="compute mode for the post-fine-tune inference "

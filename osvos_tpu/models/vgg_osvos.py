@@ -234,20 +234,39 @@ class OSVOS(nn.Module):
         flat = cfg.compute_mode == "flat"
         if flat:
             from osvos_tpu.ops.pallas.flatconv import (
-                FlatGeom, flat_conv3x3, flat_conv3x3_input, from_flat,
-                pool_flat, pool_out_geom, stage_t, to_flat)
+                FlatGeom, _half_pad, flat_conv3x3, flat_conv3x3_input,
+                flat_conv3x3_input_packed, flat_conv3x3_packed, from_flat,
+                pack_image, packed_geom, pool_flat, pool_out_geom,
+                pool_packed, stage_t, to_flat)
 
             interp = jax.default_backend() != "tpu"
             n, hh, ww = x.shape[0], x.shape[1], x.shape[2]
             g = FlatGeom(n=n, h=hh, w=ww, c=x.shape[3], t=stage_t(hh))
-            zf = to_flat(x, g)
+            # pixel-pair packing for the stem + stage 1 (c <= 64 runs with
+            # half-empty lanes otherwise); needs even frame dims
+            packed = (hh % 2 == 0) and (ww % 2 == 0)
             k0, b0 = _ConvParams3x3(in_features=g.c,
                                     features=cfg.stages[0][0],
                                     name="stage1_conv0")()
-            zf = flat_conv3x3_input(zf, k0, b0, g, interp)
-            g = dataclasses.replace(g, c=cfg.stages[0][0])
-            zf, g = self._flat_convs(zf, g, cfg.stages[0][1:], "stage1", 1,
-                                     interp)
+            if packed:
+                gp = packed_geom(g)
+                zf = pack_image(x, gp)
+                zf = flat_conv3x3_input_packed(zf, k0, b0, gp, interp)
+                gp = dataclasses.replace(
+                    gp, c=2 * _half_pad(cfg.stages[0][0]))
+                g = dataclasses.replace(g, c=cfg.stages[0][0])
+                for j, width in enumerate(cfg.stages[0][1:], start=1):
+                    kj, bj = _ConvParams3x3(in_features=g.c, features=width,
+                                            name=f"stage1_conv{j}")()
+                    zf = flat_conv3x3_packed(zf, kj, bj, gp, interp)
+                    gp = dataclasses.replace(gp, c=2 * _half_pad(width))
+                    g = dataclasses.replace(g, c=width)
+            else:
+                zf = to_flat(x, g)
+                zf = flat_conv3x3_input(zf, k0, b0, g, interp)
+                g = dataclasses.replace(g, c=cfg.stages[0][0])
+                zf, g = self._flat_convs(zf, g, cfg.stages[0][1:],
+                                         "stage1", 1, interp)
         else:
             for j, width in enumerate(cfg.stages[0]):
                 x = nn.relu(trunk_conv(x, width, f"stage1_conv{j}"))
@@ -258,7 +277,10 @@ class OSVOS(nn.Module):
         for i, widths in enumerate(cfg.stages[1:], start=1):
             if flat:
                 g2 = pool_out_geom(g, stage_t(-(-g.h // 2)))
-                zf = pool_flat(zf, g, g2)
+                if i == 1 and packed:
+                    zf = pool_packed(zf, gp, g2)
+                else:
+                    zf = pool_flat(zf, g, g2)
                 g = g2
                 zf, g = self._flat_convs(zf, g, widths, f"stage{i + 1}", 0,
                                          interp)

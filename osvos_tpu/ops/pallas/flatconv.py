@@ -72,6 +72,13 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+def _lane_pad(c: int) -> int:
+    """Buffer lane count: narrow buffers (the packed image) keep 8 lanes
+    instead of a 16x zero-pad to 128; everything else rounds to full
+    lanes."""
+    return 8 if c <= 8 else _round_up(c, 128)
+
+
 @dataclasses.dataclass(frozen=True)
 class FlatGeom:
     """Static geometry of one flat activation buffer."""
@@ -92,7 +99,7 @@ class FlatGeom:
 
     @property
     def c_pad(self) -> int:
-        return _round_up(self.c, 128)
+        return _lane_pad(self.c)
 
     @property
     def jt(self) -> int:  # tiles per image
@@ -259,7 +266,9 @@ def _pick_out_blk(t: int, wp: int, c_contract: int, out_pad: int,
                + 2 * 9 * c_contract * blk * 2)
         if tot <= 13 * 2 ** 20:
             return blk
-    return 128
+    # narrow outputs (out_pad < 128, e.g. the 8-lane image buffer) use one
+    # full-width block — a zero-size grid would leave the output unwritten
+    return min(out_pad, 128)
 
 
 # ---------------------------------------------------------------------------
@@ -325,7 +334,7 @@ def _flat_conv_fwd_impl(zf: jnp.ndarray, kernel: jnp.ndarray,
                         relu_input: bool, interpret: bool) -> jnp.ndarray:
     """zf: (rows, c_pad) bf16; kernel: (3, 3, C, D); bias: (D,)."""
     c, c_pad = g_in.c, g_in.c_pad
-    d_pad = _round_up(d, 128)
+    d_pad = _lane_pad(d)
     d_blk = _pick_out_blk(g_in.t, g_in.wp, c_pad, d_pad, 0)
     d_tiles = d_pad // d_blk
     kp = jnp.pad(kernel.astype(jnp.bfloat16),
@@ -416,7 +425,7 @@ def _flat_conv_dgrad_impl(gf: jnp.ndarray, kernel: jnp.ndarray,
                           interpret: bool) -> jnp.ndarray:
     """gf: (rows, d_pad) cotangent of z_out; returns dz_in (rows, c_pad)."""
     c, c_pad = g_in.c, g_in.c_pad
-    d_pad = _round_up(d, 128)
+    d_pad = _lane_pad(d)
     o_blk = _pick_out_blk(g_in.t, g_in.wp, d_pad, c_pad, 1)
     o_tiles = c_pad // o_blk
     # dgrad conv kernel: spatial flip + in/out channel swap
@@ -505,12 +514,12 @@ def _flat_conv_wgrad_impl(zf: jnp.ndarray, gf: jnp.ndarray, g_in: FlatGeom,
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (dk (3,3,C,D) f32, db (D,) f32)."""
     c, c_pad = g_in.c, g_in.c_pad
-    d_pad = _round_up(d, 128)
+    d_pad = _lane_pad(d)
     xs_rows = _LEAD_ROWS + (g_in.t + 2) * g_in.wp + 32
     # budget: 2x xs halo scratch + double-buffered (9, c_pad, d_blk) f32
     # result block + double-buffered g blocks <= ~13 MB
     fixed = 2 * xs_rows * c_pad * 2
-    d_blk = 128
+    d_blk = min(d_pad, 128)
     for blk in (512, 256, 128):
         if blk > d_pad or d_pad % blk:
             continue
@@ -743,3 +752,235 @@ def _pf_bwd(g_in: FlatGeom, g_out: FlatGeom, res, gf_out):
 
 
 pool_flat.defvjp(_pf_fwd, _pf_bwd)
+
+
+# ---------------------------------------------------------------------------
+# pixel-pair packing: two adjacent-in-w pixels share one 128-lane flat row
+# ---------------------------------------------------------------------------
+#
+# Stage-1 (and the stem) have c <= 64: in the natural layout their dots run
+# with half-empty lanes AND half-empty MXU contraction depth, so the padded
+# FLOPs are 4x the real work. Packing pixel pairs [x(2u) | x(2u+1)] into one
+# row makes the SAME kernels full-rate: a packed buffer is just a FlatGeom
+# with (w -> w/2, c -> 2c), and a conv tap at packed-column offset
+# delta in {-1, 0, +1} carries a 2x2 block matrix over pixel halves:
+#
+#   delta=-1: [[0, 0], [K[kh,0], 0]]             (prev pair's hi -> lo)
+#   delta= 0: [[K[kh,1], K[kh,0]], [K[kh,2], K[kh,1]]]
+#   delta=+1: [[0, K[kh,2]], [0, 0]]             (next pair's lo -> hi)
+#
+# which is exactly the (9, c_pad, d_pad) weight layout the flat kernels
+# already consume — packing is pure data/weight prep, zero kernel changes.
+# Requires even w (DAVIS 854 ok); the model falls back to unpacked
+# otherwise.
+
+
+def packed_geom(g: FlatGeom) -> FlatGeom:
+    """Packed twin geometry. c counts BUFFER lanes (2 halves of
+    _half_pad(c) each); the logical channel count rides in the weights."""
+    assert g.w % 2 == 0, "pixel-pair packing requires even width"
+    return FlatGeom(n=g.n, h=g.h, w=g.w // 2, c=2 * _half_pad(g.c), t=g.t)
+
+
+def _half_pad(c: int) -> int:
+    """Lane count of one pixel half inside the packed row."""
+    return 4 if c <= 4 else _round_up(c, 64)
+
+
+def pack_image(x: jnp.ndarray, gp: FlatGeom) -> jnp.ndarray:
+    """(n, h, w, c) -> packed flat buffer (pads c to the half width)."""
+    n, h, w, c = x.shape
+    hp = _half_pad(c)
+    xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0),) * 3 + ((0, hp - c),))
+    xp = xp.reshape(n, h, w // 2, 2 * hp)
+    return to_flat(xp, gp)
+
+
+def packed_weights(kernel: jnp.ndarray, bias: jnp.ndarray):
+    """K (3,3,ci,co), b (co,) -> Kp (3,3,2*hi,2*ho) bf16, bp (2*ho,) f32.
+
+    Both halves sit at _half_pad offsets so producer buffers line up with
+    the next packed consumer's block-row layout."""
+    ci, co = kernel.shape[2], kernel.shape[3]
+    hi, ho = _half_pad(ci), _half_pad(co)
+    k = kernel.astype(jnp.bfloat16)
+    z = jnp.zeros((ci, co), jnp.bfloat16)
+
+    def blk(ll, lh, hl, hhb):
+        m = jnp.stack([jnp.stack([ll, lh]), jnp.stack([hl, hhb])])
+        # (in_half, out_half, ci, co) -> pad ci->hi, co->ho
+        m = jnp.pad(m, ((0, 0), (0, 0), (0, hi - ci), (0, ho - co)))
+        return m.transpose(0, 2, 1, 3).reshape(2 * hi, 2 * ho)
+
+    taps = []
+    for kh in range(3):
+        a = blk(z, z, k[kh, 0], z)
+        b = blk(k[kh, 1], k[kh, 0], k[kh, 2], k[kh, 1])
+        cm = blk(z, k[kh, 2], z, z)
+        taps.extend([a, b, cm])  # kref order: kw index = delta + 1
+    kp = jnp.stack(taps).reshape(3, 3, 2 * hi, 2 * ho)
+    bpad = jnp.pad(bias.astype(jnp.float32), (0, ho - co))
+    bp = jnp.concatenate([bpad, bpad])
+    return kp, bp
+
+
+def unpack_dk(dkp: jnp.ndarray, ci: int, co: int) -> jnp.ndarray:
+    """dKp (3,3,2*hi,2*ho) -> dK (3,3,ci,co): sum each tap's occurrences."""
+    hi, ho = dkp.shape[2] // 2, dkp.shape[3] // 2
+    lo_r, hi_r = slice(0, ci), slice(hi, hi + ci)
+    lo_c, hi_c = slice(0, co), slice(ho, ho + co)
+    rows = []
+    for kh in range(3):
+        a, b, cm = dkp[kh, 0], dkp[kh, 1], dkp[kh, 2]
+        dk0 = a[hi_r, lo_c] + b[lo_r, hi_c]
+        dk1 = b[lo_r, lo_c] + b[hi_r, hi_c]
+        dk2 = b[hi_r, lo_c] + cm[lo_r, hi_c]
+        rows.append(jnp.stack([dk0, dk1, dk2]))
+    return jnp.stack(rows)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flat_conv3x3_packed(zfp, kernel, bias, gp: FlatGeom,
+                        interpret: bool = False):
+    """Packed-layout trunk conv (input ReLU'd in-kernel, like
+    flat_conv3x3). zfp: packed flat buffer of gp; kernel (3,3,ci,co)
+    logical params. Output is the packed buffer with c = 2*co."""
+    kp, bp = packed_weights(kernel, bias)
+    gi = dataclasses.replace(gp, c=kp.shape[2])
+    return _flat_conv_fwd_impl(zfp, kp, bp, gi, kp.shape[3], True,
+                               interpret)
+
+
+def _fcp_fwd(zfp, kernel, bias, gp, interpret):
+    return flat_conv3x3_packed(zfp, kernel, bias, gp, interpret), (zfp,
+                                                                   kernel)
+
+
+def _fcp_bwd(gp, interpret, res, gf):
+    zfp, kernel = res
+    ci, co = kernel.shape[2], kernel.shape[3]
+    kp, _ = packed_weights(kernel, jnp.zeros((co,), jnp.float32))
+    gi = dataclasses.replace(gp, c=kp.shape[2])
+    gf = gf.astype(jnp.bfloat16)
+    dz = _flat_conv_dgrad_impl(gf, kp, zfp, gi, kp.shape[3], interpret)
+    dkp, dbp = _flat_conv_wgrad_impl(zfp, gf, gi, kp.shape[3], True,
+                                     interpret)
+    ho = _half_pad(co)
+    dk = unpack_dk(dkp, ci, co).astype(kernel.dtype)
+    db = (dbp[:co] + dbp[ho:ho + co]).astype(jnp.float32)
+    return dz, dk, db
+
+
+flat_conv3x3_packed.defvjp(_fcp_fwd, _fcp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flat_conv3x3_input_packed(zfp, kernel, bias, gp: FlatGeom,
+                              interpret: bool = False):
+    """Packed stem: raw (packed) image in, no input ReLU, no dz."""
+    kp, bp = packed_weights(kernel, bias)
+    gi = dataclasses.replace(gp, c=kp.shape[2])
+    return _flat_conv_fwd_impl(zfp, kp, bp, gi, kp.shape[3], False,
+                               interpret)
+
+
+def _fcip_fwd(zfp, kernel, bias, gp, interpret):
+    return flat_conv3x3_input_packed(zfp, kernel, bias, gp,
+                                     interpret), (zfp, kernel)
+
+
+def _fcip_bwd(gp, interpret, res, gf):
+    zfp, kernel = res
+    ci, co = kernel.shape[2], kernel.shape[3]
+    gi = dataclasses.replace(gp, c=2 * _half_pad(ci))
+    gf = gf.astype(jnp.bfloat16)
+    ho = _half_pad(co)
+    dkp, dbp = _flat_conv_wgrad_impl(zfp, gf, gi, 2 * ho, False, interpret)
+    dk = unpack_dk(dkp, ci, co).astype(kernel.dtype)
+    db = (dbp[:co] + dbp[ho:ho + co]).astype(jnp.float32)
+    return jnp.zeros_like(zfp), dk, db
+
+
+flat_conv3x3_input_packed.defvjp(_fcip_fwd, _fcip_bwd)
+
+
+# ---------------------------------------------------------------------------
+# pool from a packed buffer into the next stage's natural buffer
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def pool_packed(zfp, gp: FlatGeom, g_out: FlatGeom):
+    """2x2/2 max pool consuming a PACKED stage buffer.
+
+    The horizontal pair IS the packed row's lane halves, so pooling is one
+    lane-half max plus an aligned row-pair max — no repacking, no window
+    arithmetic. Requires even h and (original) even w, which is how the
+    packed path is gated. Output is the natural flat buffer of g_out.
+    """
+    return _embed_pp(_pp_max(zfp, gp, g_out.c), g_out)
+
+
+def _pp_max(zfp, gp: FlatGeom, co: int):
+    half = gp.c // 2
+    v = _pool_view(zfp, gp)
+    hmax = jnp.maximum(v[..., :co], v[..., half:half + co])
+    r = hmax.reshape(gp.n, gp.hp // 2, 2, gp.wp, co)
+    return jnp.max(r, axis=2)  # out pixel (h', u) at (h'+1, u+2)
+
+
+def _embed_pp(m, g_out: FlatGeom):
+    core = m[:, 1:g_out.h + 1, 2:g_out.w + 2, :g_out.c]
+    return to_flat(core, g_out)
+
+
+def _pp_fwd(zfp, gp, g_out):
+    m = _pp_max(zfp, gp, g_out.c)
+    return _embed_pp(m, g_out), (zfp, m)
+
+
+def _pp_bwd(gp: FlatGeom, g_out: FlatGeom, res, gf_out):
+    zfp, m = res
+    co = g_out.c
+    half = gp.c // 2
+    gv = _pool_view(gf_out, g_out)
+    gmm = jnp.zeros((gp.n, gp.hp // 2, gp.wp, co), gv.dtype)
+    gmm = gmm.at[:, 1:g_out.h + 1, 2:g_out.w + 2, :].set(
+        gv[:, 2:g_out.h + 2, 2:g_out.w + 2, :co])
+    v = _pool_view(zfp, gp)
+    r = v.reshape(gp.n, gp.hp // 2, 2, gp.wp, gp.c_pad)
+    top, bot = r[:, :, 0], r[:, :, 1]
+    a, b = top[..., :co], top[..., half:half + co]
+    cc, d = bot[..., :co], bot[..., half:half + co]
+    # row-major-first argmax tie routing: top-lo, top-hi, bot-lo, bot-hi
+    wa = a == m
+    wb = (b == m) & ~wa
+    wc = (cc == m) & ~wa & ~wb
+    wd = (d == m) & ~wa & ~wb & ~wc
+    z = jnp.zeros_like(gmm)
+
+    def halfpad(x):
+        return jnp.pad(x, ((0, 0),) * 3 + ((0, half - co),))
+
+    g_top = jnp.concatenate(
+        [halfpad(jnp.where(wa, gmm, z)), halfpad(jnp.where(wb, gmm, z))],
+        axis=-1)
+    g_bot = jnp.concatenate(
+        [halfpad(jnp.where(wc, gmm, z)), halfpad(jnp.where(wd, gmm, z))],
+        axis=-1)
+    dz = jnp.stack([g_top, g_bot], axis=2).reshape(
+        gp.n * gp.hp * gp.wp, 2 * half)
+    dz = jnp.pad(dz, ((gp.lead, gp.block_rows), (0, gp.c_pad - 2 * half)))
+    return (dz.astype(zfp.dtype),)
+
+
+pool_packed.defvjp(_pp_fwd, _pp_bwd)
+
+
+def unpack_image(zfp, gp: FlatGeom, c: int) -> jnp.ndarray:
+    """Packed flat buffer -> (n, h, 2*w_packed, c) NHWC (tests/side use)."""
+    half = gp.c // 2
+    v = _pool_view(zfp, gp)[:, 2:gp.h + 2, 2:gp.w + 2, :]
+    lo, hi = v[..., :c], v[..., half:half + c]
+    inter = jnp.stack([lo, hi], axis=3)
+    return inter.reshape(gp.n, gp.h, 2 * gp.w, c)

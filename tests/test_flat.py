@@ -196,3 +196,65 @@ def test_init_osvos_params_all_compute_modes():
         s = jax.tree.structure(p)
         ref = ref or s
         assert s == ref, mode
+
+
+# ---------------------------------------------------------------------------
+# pixel-pair packed path (stem + stage 1 + pool_packed)
+# ---------------------------------------------------------------------------
+
+
+def test_packed_conv_matches_ref(rng):
+    from osvos_tpu.ops.pallas.flatconv import (
+        FlatGeom, flat_conv3x3_packed, pack_image, packed_geom,
+        unpack_image, _half_pad)
+    import dataclasses as dc
+    n, h, w, c, d, t = 2, 6, 12, 8, 8, 4
+    g = FlatGeom(n=n, h=h, w=w, c=c, t=t)
+    gp = packed_geom(g)
+    x = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32))
+    zfp = pack_image(x, gp)
+    k = jnp.asarray(0.1 * rng.randn(3, 3, c, d).astype(np.float32))
+    b = jnp.asarray(0.1 * rng.randn(d).astype(np.float32))
+    out = flat_conv3x3_packed(zfp, k, b, gp, True)
+    got = np.asarray(unpack_image(
+        out, dc.replace(gp, c=2 * _half_pad(d)), d), np.float32)
+    # reference: conv(relu(x)) + b
+    xr = jnp.maximum(x.astype(jnp.bfloat16).astype(jnp.float32), 0)
+    want = jax.lax.conv_general_dilated(
+        xr, k.astype(jnp.bfloat16).astype(jnp.float32), (1, 1),
+        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    want = np.asarray(want + b, np.float32)
+    np.testing.assert_allclose(got, want, atol=3e-2 * np.abs(want).max())
+
+
+def test_packed_model_matches_fast(rng):
+    """Even frame dims gate the packed stem/stage-1/pool path; it must
+    agree with 'fast' like the unpacked flat path does."""
+    import jax
+    from osvos_tpu.models import init_osvos_params
+    from osvos_tpu.configs import ModelConfig
+    from osvos_tpu.ops.loss import class_balanced_cross_entropy_loss
+    h, w = 16, 28
+    params = init_osvos_params(jax.random.PRNGKey(0),
+                               ModelConfig(compute_mode="fast", **TINY),
+                               input_hw=(h, w))
+    x = jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32) * 10)
+    m = jnp.asarray((rng.rand(1, h, w, 1) > 0.5).astype(np.float32))
+    out_flat = _tiny_model("flat").apply({"params": params}, x, mode="infer")
+    out_fast = _tiny_model("fast").apply({"params": params}, x, mode="infer")
+    scale = np.abs(np.asarray(out_fast[-1], np.float32)).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(out_flat[-1], np.float32),
+                               np.asarray(out_fast[-1], np.float32),
+                               atol=4e-2 * scale)
+
+    def loss(p, mode):
+        out = _tiny_model(mode).apply({"params": p}, x, mode="infer")[-1]
+        return class_balanced_cross_entropy_loss(out, m, size_average=False)
+
+    gf = jax.grad(lambda p: loss(p, "flat"))(params)
+    gr = jax.grad(lambda p: loss(p, "fast"))(params)
+    for path, leaf in jax.tree.leaves_with_path(gf):
+        ref = dict(jax.tree.leaves_with_path(gr))[path]
+        scale = np.abs(np.asarray(ref)).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref),
+                                   atol=6e-2 * scale, err_msg=str(path))

@@ -73,10 +73,12 @@ def _round_up(v: int, m: int) -> int:
 
 
 def _lane_pad(c: int) -> int:
-    """Buffer lane count: narrow buffers (the packed image) keep 8 lanes
-    instead of a 16x zero-pad to 128; everything else rounds to full
-    lanes."""
-    return 8 if c <= 8 else _round_up(c, 128)
+    """Buffer lane count. Always full 128-lane tiles: hardware Mosaic
+    rejects sub-128 lane extents in slices ("Slice shape along dimension 1
+    must be aligned to tiling (128)"), so even the packed image buffer
+    rides in 128 lanes (its 120 zero lanes cost bandwidth, not MXU time
+    beyond the padded dots)."""
+    return _round_up(c, 128)
 
 
 @dataclasses.dataclass(frozen=True)

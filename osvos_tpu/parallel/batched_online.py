@@ -154,16 +154,42 @@ def batched_fine_tune(
         pool_masks = _pad_to(pool_masks, s_padded)
         step_keys = _pad_to(step_keys, s_padded)
 
+    import dataclasses as _dc
+
+    if model_config.compute_mode == "flat" and (
+            mesh is None or s_padded != mesh.devices.size):
+        # vmap of the flat-trunk pallas kernels does not lower on TPU
+        # (ANY-memory-space inputs must cover the whole array under a
+        # trivial index map, which the batching transform breaks), so any
+        # path that needs a real vmap runs the 'fast' trunk instead.
+        # Checkpoints are mode-independent: purely a kernel choice.
+        model_config = _dc.replace(model_config, compute_mode="fast")
     chunk = make_chunk_fn(model_config, cfg, aug_mode=aug_mode,
                           step_mode=step_mode)
-    vmapped = jax.vmap(chunk, in_axes=(0, 0, 0, 0, 0))
 
-    if mesh is not None:
+    chunk_len = max(1, getattr(cfg, "scan_chunk", 250))
+
+    if mesh is not None and s_padded == mesh.devices.size:
+        # One sequence per device — no vmap, so the flat-trunk kernels
+        # lower as-is, and measured per-sequence throughput beats
+        # vmap-packing (a single batch-n_ave_grad sequence already
+        # saturates the chip: S=2 packing ran 148 ms/step/seq vs 75
+        # serial, bench.py). Callers with more sequences than devices
+        # get round-robin scheduling via this same path (see
+        # batched_fine_tune_rounds below... the padding above made
+        # s_padded a multiple of n_dev; rounds loop is in run_batched's
+        # caller-visible behavior: each jit call adapts n_dev sequences).
+        def per_device(p, o, pi, pm, k):
+            sq = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
+            ex = lambda t: jax.tree.map(lambda a: a[None], t)  # noqa: E731
+            np_, no_, l = chunk(sq(p), sq(o), sq(pi), sq(pm), sq(k))
+            return ex(np_), ex(no_), l[None]
+
         spec = P(axis_name)
         mapped = jax.shard_map(
-            vmapped, mesh=mesh,
+            per_device, mesh=mesh,
             in_specs=(spec, spec, spec, spec, spec),
-            out_specs=(spec, spec, spec))
+            out_specs=(spec, spec, spec), check_vma=False)
         shard = NamedSharding(mesh, spec)
         params = jax.device_put(params, shard)
         opt_state = jax.device_put(opt_state, shard)
@@ -172,9 +198,26 @@ def batched_fine_tune(
         step_keys = jax.device_put(step_keys, shard)
         fn = jax.jit(mapped, donate_argnums=(0, 1))
     else:
-        fn = jax.jit(vmapped, donate_argnums=(0, 1))
+        vmapped = jax.vmap(chunk, in_axes=(0, 0, 0, 0, 0))
+        if mesh is not None:
+            spec = P(axis_name)
+            # check_vma=False: pallas_call carries no varying-mesh-axis
+            # metadata; the map is collective-free so the check adds
+            # nothing here.
+            mapped = jax.shard_map(
+                vmapped, mesh=mesh,
+                in_specs=(spec, spec, spec, spec, spec),
+                out_specs=(spec, spec, spec), check_vma=False)
+            shard = NamedSharding(mesh, spec)
+            params = jax.device_put(params, shard)
+            opt_state = jax.device_put(opt_state, shard)
+            pool_imgs = jax.device_put(pool_imgs, shard)
+            pool_masks = jax.device_put(pool_masks, shard)
+            step_keys = jax.device_put(step_keys, shard)
+            fn = jax.jit(mapped, donate_argnums=(0, 1))
+        else:
+            fn = jax.jit(vmapped, donate_argnums=(0, 1))
 
-    chunk_len = max(1, getattr(cfg, "scan_chunk", 250))
     losses = []
     for start in range(0, cfg.n_steps, chunk_len):
         k = step_keys[:, start:start + chunk_len]
@@ -230,6 +273,7 @@ def batched_infer(
                                       stacked_params)
         frames = _pad_to(frames, s_padded)
         mapped = jax.shard_map(vmapped, mesh=mesh, in_specs=(spec, spec),
+                               check_vma=False,
                                out_specs=spec)
         stacked_params = jax.device_put(stacked_params, shard)
         frames = jax.device_put(frames, shard)

@@ -169,6 +169,7 @@ def _cbbce_stats_per_sample(logits: jnp.ndarray, labels: jnp.ndarray,
     tiles = rows // _TILE_ROWS
 
     def kernel(x_ref, z_ref, out_ref, acc_ref):
+        i = pl.program_id(0)
         t = pl.program_id(1)
 
         @pl.when(t == 0)
@@ -185,9 +186,13 @@ def _cbbce_stats_per_sample(logits: jnp.ndarray, labels: jnp.ndarray,
 
         @pl.when(t == pl.num_programs(1) - 1)
         def _():
-            out_ref[:] = jnp.stack([acc_ref[0], acc_ref[1], acc_ref[2],
-                                    acc_ref[3]]).reshape(1, 4)
+            out_ref[pl.ds(i, 1), :] = jnp.stack(
+                [acc_ref[0], acc_ref[1], acc_ref[2],
+                 acc_ref[3]]).reshape(1, 4)
 
+    # out block == whole (b, 4) array: hardware Mosaic only allows
+    # sub-(8, 128) blocks when they cover the full array (the per-row
+    # (1, 4) spec lowered in interpret mode but not on the chip)
     stats = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, 4), jnp.float32),
@@ -198,7 +203,7 @@ def _cbbce_stats_per_sample(logits: jnp.ndarray, labels: jnp.ndarray,
             pl.BlockSpec((1, _TILE_ROWS, _LANES), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 4), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((b, 4), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
         interpret=interpret,
@@ -220,9 +225,10 @@ def _cbbce_grad_per_sample(logits: jnp.ndarray, labels: jnp.ndarray,
     tiles = rows // _TILE_ROWS
 
     def kernel(x_ref, z_ref, w_ref, dx_ref):
+        i = pl.program_id(0)
         xv = x_ref[0]
         zv = (z_ref[0] >= 0.5).astype(jnp.float32)
-        w_pos, w_neg, scale = w_ref[0, 0], w_ref[0, 1], w_ref[0, 2]
+        w_pos, w_neg, scale = w_ref[i, 0], w_ref[i, 1], w_ref[i, 2]
         sig = jax.nn.sigmoid(xv)
         dx_ref[0] = scale * (w_pos * zv * (sig - 1.0)
                              + w_neg * (1.0 - zv) * sig)
@@ -236,7 +242,9 @@ def _cbbce_grad_per_sample(logits: jnp.ndarray, labels: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TILE_ROWS, _LANES), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4), lambda i, j: (i, 0),
+            # whole-array SMEM block: hardware Mosaic rejects sub-(8,128)
+            # blocks that don't cover the array
+            pl.BlockSpec((b, 4), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, _TILE_ROWS, _LANES),

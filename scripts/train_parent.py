@@ -37,7 +37,10 @@ def main() -> None:
                     help="torchvision VGG-16 features as .npz/.pth "
                          "(utils/torch_port.py) for ImageNet init")
     ap.add_argument("--compute_mode", default="fast",
-                    choices=["fast", "parity"])
+                    choices=["fast", "parity", "flat"],
+                    help="'flat' runs the trunk fwd+bwd in the flat-layout "
+                         "Pallas kernels (fastest backward; train-mode "
+                         "gradient parity tested vs 'fast')")
     ap.add_argument("--data_parallel", type=int, default=0,
                     help="devices for batch-parallel training (0 = all)")
     ap.add_argument("--input_h", type=int, default=480)

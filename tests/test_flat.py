@@ -258,3 +258,35 @@ def test_packed_model_matches_fast(rng):
         scale = np.abs(np.asarray(ref)).max() + 1e-6
         np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref),
                                    atol=6e-2 * scale, err_msg=str(path))
+
+
+def test_flat_model_train_mode_grads_match_fast(rng):
+    """Deep-supervision (train-mode) gradients through the flat trunk —
+    gates exposing compute_mode='flat' in the parent trainer."""
+    import jax
+    from osvos_tpu.models import init_osvos_params
+    from osvos_tpu.configs import ModelConfig
+    from osvos_tpu.ops.loss import class_balanced_cross_entropy_loss
+    h, w = 16, 28
+    params = init_osvos_params(jax.random.PRNGKey(0),
+                               ModelConfig(compute_mode="fast", **TINY),
+                               input_hw=(h, w))
+    x = jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32) * 10)
+    m = jnp.asarray((rng.rand(1, h, w, 1) > 0.5).astype(np.float32))
+
+    def loss(p, mode):
+        outs = _tiny_model(mode).apply({"params": p}, x, mode="train")
+        # annealed deep supervision shape (train/parent.py)
+        return (0.5 * sum(class_balanced_cross_entropy_loss(o, m,
+                                                            size_average=False)
+                          for o in outs[:-1])
+                + class_balanced_cross_entropy_loss(outs[-1], m,
+                                                    size_average=False))
+
+    gf = jax.grad(lambda p: loss(p, "flat"))(params)
+    gr = jax.grad(lambda p: loss(p, "fast"))(params)
+    for path, leaf in jax.tree.leaves_with_path(gf):
+        ref = dict(jax.tree.leaves_with_path(gr))[path]
+        scale = np.abs(np.asarray(ref)).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref),
+                                   atol=8e-2 * scale, err_msg=str(path))

@@ -276,11 +276,13 @@ class OSVOS(nn.Module):
         fused_contribs: List[jnp.ndarray] = []
         for i, widths in enumerate(cfg.stages[1:], start=1):
             if flat:
+                from osvos_tpu.ops.pallas.flatpool import pool_flat_p
+
                 g2 = pool_out_geom(g, stage_t(-(-g.h // 2)))
                 if i == 1 and packed:
                     zf = pool_packed(zf, gp, g2)
                 else:
-                    zf = pool_flat(zf, g, g2)
+                    zf = pool_flat_p(zf, g, g2, interp)
                 g = g2
                 zf, g = self._flat_convs(zf, g, widths, f"stage{i + 1}", 0,
                                          interp)

@@ -1,0 +1,314 @@
+"""Flat-layout ceil-mode 2x2/2 max pool as Pallas kernels (fwd + bwd).
+
+pool_flat (flatconv.py) implements pooling as an XLA reshape-max over the
+flat view plus an equality-select backward — correct, but XLA materializes
+the 6-D strided views with transposed layouts and the embed/re-pad steps,
+costing ~6-8 ms of the online step across stages 2-5. These kernels do
+each direction in one pass over the buffers:
+
+Forward (grid over OUT tiles): the input window for an out tile is DMA'd
+at an aligned row-multiple of the input width, shifted up 2 rows in place
+(one aligned u32-word roll — the 2-pixel column pad makes the column
+shift a pure row shift), reduced vertically by aligned row-pair maxes and
+horizontally on the bf16-pair-packed u32 view (lane-half unpack via
+``<<16`` / ``&0xffff0000`` f32 bitcasts), assembled 0-column-based, then
+placed at the padded output columns with ``pltpu.roll`` and masked so the
+output pads stay exactly zero. Ceil-mode windows at odd extents use only
+their valid elements (a scalar/lane predicate, not -inf padding).
+
+Backward (grid over IN tiles): the pooled maxes and the output cotangent
+stream in via an aligned window DMA; each input row rebuilds its expanded
+``out[(w//2)]`` row with ``pltpu.repeat``+``roll`` on values, applies the
+reference's row-major-first argmax tie routing (top-left wins; matches
+ops/pool.py's torch-oracle-tested ``_mp_bwd``), and writes the routed
+cotangent.
+
+Reference semantics: ``MaxPool2d(2, stride=2, ceil_mode=True)``
+(networks/vgg_osvos.py:~120) on pre-activation values — max commutes with
+the consumers' ReLU, see flatconv.py. Tested against pool_flat (the XLA
+twin) in tests/test_flat.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from osvos_tpu.ops.pallas.flatconv import FlatGeom, _round_up
+
+
+def _shift_up2_inplace(xs, n_rows: int) -> None:
+    """xs[r] <- xs[r+2]: one aligned u32-word roll, chunks walk upward."""
+    n_w = n_rows // 2
+    ch = _round_up(-(-n_w // 8), 8)
+    for a in range(0, n_w, ch):
+        b = min(a + ch, n_w)
+        wv = pltpu.bitcast(xs[pl.ds(2 * (a + 1), 2 * (b - a)), :],
+                           jnp.uint32)
+        xs[pl.ds(2 * a, 2 * (b - a)), :] = pltpu.bitcast(wv, jnp.bfloat16)
+
+
+def _roll2_bf16(v):
+    """roll a bf16 (rows, C) value down 2 rows: one u32-word roll (the
+    hardware rotate only supports 32-bit data)."""
+    u = pltpu.bitcast(v, jnp.uint32)
+    return pltpu.bitcast(pltpu.roll(u, 1, axis=0), jnp.bfloat16)
+
+
+def _pair_max_row(m):
+    """(wp1, C) bf16 -> (wp1/2, C) f32 max of element pairs (2k, 2k+1)."""
+    u = pltpu.bitcast(m, jnp.uint32)
+    lo = pltpu.bitcast(u << 16, jnp.float32)
+    hi = pltpu.bitcast(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    return jnp.maximum(lo, hi), lo
+
+
+def _fwd_kernel(g_in: FlatGeom, g_out: FlatGeom):
+    wp1, wp2 = g_in.wp, g_out.wp
+    tau = g_out.t
+    k_rows = g_out.block_rows
+    jt2, last = g_out.jt, g_out.total_tiles - 1
+    h1, w1, h2, w2 = g_in.h, g_in.w, g_out.h, g_out.w
+    c_pad = g_in.c_pad
+    # whole image-rows of slack so a clamped window stays row-aligned
+    xs_rows = (2 * tau + 2) * wp1
+    halfw = wp1 // 2
+    w_odd = (w1 % 2) == 1
+    in_rows_total = g_in.rows
+
+    def kernel(zin_hbm, out_ref, xs, obuf, sem):
+        tt = pl.program_id(0)
+        edge = (tt == 0) | (tt == last)
+
+        @pl.when(edge)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when(jnp.logical_not(edge))
+        def _():
+            j = (tt - 1) % jt2
+            n = (tt - 1) // jt2
+            # window start: padded in row 2*j*tau - 2 of image n — an
+            # aligned multiple of wp1; negative per-image starts land in
+            # the zero lead block. The LAST tiles of the last image can
+            # over-read past the buffer tail (the out grid covers up to
+            # 2*hp_out input rows > hp_in + tail for deep stages), so the
+            # window clamps to the buffer end and the reads shift by the
+            # whole-row delta.
+            off_u = (g_in.t + n * g_in.hp + 2 * j * tau - 2) * wp1
+            off = jnp.minimum(off_u, in_rows_total - xs_rows)
+            off = pl.multiple_of(off, 16)
+            dd = (off_u - off) // wp1  # rows the window slid down
+            dma = pltpu.make_async_copy(
+                zin_hbm.at[pl.ds(off, xs_rows)], xs, sem)
+            dma.start()
+            dma.wait()
+            # column shift: padded col w+2 -> w (pure flat -2 shift; each
+            # row's 2-entry tail borrows from the next row — junk beyond
+            # the valid width, masked at the end)
+            _shift_up2_inplace(xs, xs_rows - 2 * wp1)
+
+            row_cap = xs_rows // wp1 - 1
+            for r in range(tau):
+                # out padded row p = j*tau + r, pixel h' = p - 2; its two
+                # input rows sit at window-local rows 2r+dd and 2r+1+dd.
+                # Rows sliding past the scratch belong to masked outputs —
+                # clamp the read so it stays in bounds (garbage is fine).
+                ra = pl.multiple_of(
+                    jnp.minimum(2 * r + dd, row_cap) * wp1, 16)
+                rb = pl.multiple_of(
+                    jnp.minimum(2 * r + 1 + dd, row_cap) * wp1, 16)
+                va = xs[pl.ds(ra, wp1), :]
+                vb = xs[pl.ds(rb, wp1), :]
+                # h-ceil: the second input row may be past the image
+                hpix2 = 2 * (j * tau + r - 2) + 1
+                v = jnp.where(hpix2 < h1, jnp.maximum(va, vb), va)
+                mx, lo = _pair_max_row(v)
+                if w_odd:
+                    # last out col's second element is the zero pad column
+                    kk = jax.lax.broadcasted_iota(jnp.int32, (halfw, 1), 0)
+                    mx = jnp.where(kk == w2 - 1, lo, mx)
+                obuf[pl.ds(r * wp2, halfw), :] = mx.astype(jnp.bfloat16)
+
+            # place at padded out cols (+2) and zero the pads
+            it = jax.lax.broadcasted_iota(jnp.int32, (k_rows, 1), 0)
+            p = j * tau + it // wp2
+            u = it % wp2
+            valid = ((p >= 2) & (p <= h2 + 1) & (u >= 2) & (u <= w2 + 1))
+            rolled = _roll2_bf16(obuf[...])
+            out_ref[...] = jnp.where(valid, rolled, jnp.bfloat16(0))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("g_in", "g_out", "interpret"))
+def pool_flat_fwd_pallas(zf, g_in: FlatGeom, g_out: FlatGeom,
+                         interpret: bool = False):
+    assert g_in.w >= 2 and g_in.h >= 2
+    assert g_in.wp // 2 <= g_out.wp, (g_in.wp, g_out.wp)
+    xs_rows = (2 * g_out.t + 2) * g_in.wp
+    return pl.pallas_call(
+        _fwd_kernel(g_in, g_out),
+        out_shape=jax.ShapeDtypeStruct((g_out.rows, g_out.c_pad),
+                                       jnp.bfloat16),
+        grid=(g_out.total_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((g_out.block_rows, g_out.c_pad),
+                               lambda tt: (tt, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((xs_rows, g_in.c_pad), jnp.bfloat16),
+            pltpu.VMEM((g_out.block_rows, g_out.c_pad), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(zf)
+
+
+def _dup_lo(u):
+    lo = u & jnp.uint32(0xFFFF)
+    return lo | (lo << 16)
+
+
+def _dup_hi(u):
+    hi = u & jnp.uint32(0xFFFF0000)
+    return (u >> 16) | hi
+
+
+def _bwd_kernel(g_in: FlatGeom, g_out: FlatGeom):
+    wp1, wp2 = g_in.wp, g_out.wp
+    ti = g_in.t
+    jt1, last = g_in.jt, g_in.total_tiles - 1
+    h1, w1 = g_in.h, g_in.w
+    w2_rows = (ti // 2 + 2) * wp2
+
+    def kernel(zout_hbm, gout_hbm, zin_ref, out_ref, zs, gs, sem):
+        tt = pl.program_id(0)
+        edge = (tt == 0) | (tt == last)
+
+        @pl.when(edge)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when(jnp.logical_not(edge))
+        def _():
+            j = (tt - 1) % jt1
+            n = (tt - 1) // jt1
+            off = pl.multiple_of(
+                (g_out.t + n * g_out.hp + (j * ti) // 2) * wp2, 16)
+            d1 = pltpu.make_async_copy(
+                zout_hbm.at[pl.ds(off, w2_rows)], zs, sem.at[0])
+            d2 = pltpu.make_async_copy(
+                gout_hbm.at[pl.ds(off, w2_rows)], gs, sem.at[1])
+            d1.start()
+            d2.start()
+            d1.wait()
+            d2.wait()
+            # 0-based cols in the out windows
+            _shift_up2_inplace(zs, (ti // 2 + 2) * wp2 - 2)
+            _shift_up2_inplace(gs, (ti // 2 + 2) * wp2 - 2)
+
+            ca = jax.lax.broadcasted_iota(jnp.int32, (wp1, 1), 0)
+            col_valid = ((ca >= 2) & (ca <= w1 + 1)).astype(jnp.float32)
+            col_odd = (ca % 2 == 1).astype(jnp.float32)
+
+            m_top_bits_prev = None
+            for r in range(ti):
+                # padded in row q = j*ti + r; out local row
+                # (q-2)//2 + 2 - j*ti/2 = (r-2)//2 + 2 (python floor also
+                # maps the two leading pad/carry rows to local row 1)
+                lo_r = (r - 2) // 2 + 2
+                zo = zs[pl.ds(lo_r * wp2, wp2), :]
+                go = gs[pl.ds(lo_r * wp2, wp2), :]
+
+                # expand out cols 2x (true interleave — pltpu.repeat TILES)
+                # and re-pad: e[a] = zo[(a-2)//2]
+                def expand(row):
+                    inter = jnp.stack([row, row], axis=1)
+                    inter = inter.reshape(2 * wp2, row.shape[-1])
+                    return _roll2_bf16(inter[:wp1, :])
+
+                e_z = expand(zo)
+                e_g = expand(go)
+                zin_row = zin_ref[pl.ds(r * wp1, wp1), :]
+                m_eq = (zin_row.astype(jnp.float32)
+                        == e_z.astype(jnp.float32)).astype(jnp.float32)
+                m_bits = pltpu.bitcast(m_eq.astype(jnp.bfloat16),
+                                       jnp.uint32)
+                prev_even = pltpu.bitcast(_dup_lo(m_bits), jnp.bfloat16
+                                          ).astype(jnp.float32)
+                if r % 2 == 0:
+                    # top row: even col wins outright; odd col only if the
+                    # even partner missed
+                    route = m_eq * (1.0 - col_odd * prev_even)
+                    m_top_bits_prev = m_bits
+                else:
+                    # bottom row: any top-row hit blocks both; the odd col
+                    # additionally defers to its even partner
+                    any_top = pltpu.bitcast(
+                        _dup_lo(m_top_bits_prev) | _dup_hi(m_top_bits_prev),
+                        jnp.bfloat16).astype(jnp.float32)
+                    route = (m_eq * (1.0 - any_top)
+                             * (1.0 - col_odd * prev_even))
+                q = j * ti + r
+                row_ok = ((q >= 2) & (q <= h1 + 1)).astype(jnp.float32)
+                row = e_g.astype(jnp.float32) * route * col_valid * row_ok
+                out_ref[pl.ds(r * wp1, wp1), :] = row.astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("g_in", "g_out", "interpret"))
+def pool_flat_bwd_pallas(zin, zout, gout, g_in: FlatGeom, g_out: FlatGeom,
+                         interpret: bool = False):
+    w2_rows = (g_in.t // 2 + 2) * g_out.wp
+    return pl.pallas_call(
+        _bwd_kernel(g_in, g_out),
+        out_shape=jax.ShapeDtypeStruct((g_in.rows, g_in.c_pad),
+                                       jnp.bfloat16),
+        grid=(g_in.total_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # zout
+            pl.BlockSpec(memory_space=pl.ANY),  # gout
+            pl.BlockSpec((g_in.block_rows, g_in.c_pad), lambda tt: (tt, 0),
+                         memory_space=pltpu.VMEM),  # zin
+        ],
+        out_specs=pl.BlockSpec((g_in.block_rows, g_in.c_pad),
+                               lambda tt: (tt, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((w2_rows, g_out.c_pad), jnp.bfloat16),
+            pltpu.VMEM((w2_rows, g_out.c_pad), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(zout, gout, zin)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def pool_flat_p(zf, g_in: FlatGeom, g_out: FlatGeom,
+                interpret: bool = False):
+    """Pallas ceil-mode 2x2/2 max pool, flat buffer -> flat buffer.
+
+    Drop-in for flatconv.pool_flat with both directions as single-pass
+    kernels; identical values and tie routing (tested against it)."""
+    return pool_flat_fwd_pallas(zf, g_in, g_out, interpret)
+
+
+def _pfp_fwd(zf, g_in, g_out, interpret):
+    out = pool_flat_fwd_pallas(zf, g_in, g_out, interpret)
+    return out, (zf, out)
+
+
+def _pfp_bwd(g_in, g_out, interpret, res, gf_out):
+    zf, zout = res
+    dz = pool_flat_bwd_pallas(zf, zout, gf_out.astype(jnp.bfloat16),
+                              g_in, g_out, interpret)
+    return (dz,)
+
+
+pool_flat_p.defvjp(_pfp_fwd, _pfp_bwd)

@@ -59,7 +59,7 @@ def main() -> None:
                     choices=["fast", "parity", "flat"],
                     help="fine-tune compute mode; 'flat' runs the whole "
                          "trunk fwd+bwd in the flat-layout Pallas kernels "
-                         "(fastest measured: 74.7 vs 98.0 ms/step)")
+                         "(fastest measured: 73.4 vs 98.0 ms/step)")
     ap.add_argument("--infer_mode", default=None,
                     choices=["fast", "parity", "int8"],
                     help="compute mode for the post-fine-tune inference "

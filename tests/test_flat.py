@@ -290,3 +290,48 @@ def test_flat_model_train_mode_grads_match_fast(rng):
         scale = np.abs(np.asarray(ref)).max() + 1e-6
         np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref),
                                    atol=8e-2 * scale, err_msg=str(path))
+
+
+# ---------------------------------------------------------------------------
+# pallas flat pool vs the XLA pool_flat twin
+# ---------------------------------------------------------------------------
+
+
+POOL_GEOMS = [
+    # (n, h1, w1, c, t_in, t_out)
+    (2, 8, 12, 8, 4, 4),
+    (1, 9, 27, 8, 4, 4),     # odd h and w (ceil windows)
+    (1, 12, 14, 130, 4, 4),  # multi-lane-tile channels
+    (2, 16, 28, 8, 16, 16),  # model-sized tiling
+    (1, 10, 12, 8, 4, 8),    # 2*hp_out > hp_in + tail: window clamps
+]
+
+
+@pytest.mark.parametrize("gt", POOL_GEOMS)
+def test_pool_flat_pallas_matches_xla(rng, gt):
+    import dataclasses as dc
+    from osvos_tpu.ops.pallas.flatconv import pool_flat
+    from osvos_tpu.ops.pallas.flatpool import pool_flat_p
+    n, h1, w1, c, ti, to = gt
+    g_in = FlatGeom(n=n, h=h1, w=w1, c=c, t=ti)
+    g_out = FlatGeom(n=n, h=-(-h1 // 2), w=-(-w1 // 2), c=c, t=to)
+    x = jnp.asarray(rng.randn(n, h1, w1, c).astype(np.float32))
+    zf = to_flat(x, g_in)
+    want = np.asarray(pool_flat(zf, g_in, g_out), np.float32)
+    got = np.asarray(pool_flat_p(zf, g_in, g_out, True), np.float32)
+    np.testing.assert_array_equal(got, want)
+
+    # backward: same routed cotangent, including tie cases (duplicate
+    # values are common after bf16 rounding)
+    r = jnp.asarray(rng.randn(n, g_out.h, g_out.w, c).astype(np.float32))
+
+    def loss(fn, zf):
+        out = fn(zf)
+        return jnp.sum(from_flat(out, g_out).astype(jnp.float32) * r)
+
+    gw = jax.grad(lambda z: loss(lambda zz: pool_flat(zz, g_in, g_out),
+                                 z))(zf)
+    gp = jax.grad(lambda z: loss(
+        lambda zz: pool_flat_p(zz, g_in, g_out, True), z))(zf)
+    np.testing.assert_array_equal(np.asarray(gp, np.float32),
+                                  np.asarray(gw, np.float32))

@@ -779,9 +779,12 @@ pool_flat.defvjp(_pf_fwd, _pf_bwd)
 
 def packed_geom(g: FlatGeom) -> FlatGeom:
     """Packed twin geometry. c counts BUFFER lanes (2 halves of
-    _half_pad(c) each); the logical channel count rides in the weights."""
+    _half_pad(c) each); the logical channel count rides in the weights.
+    Packing halves the row width, so the block height doubles within the
+    same VMEM budget."""
     assert g.w % 2 == 0, "pixel-pair packing requires even width"
-    return FlatGeom(n=g.n, h=g.h, w=g.w // 2, c=2 * _half_pad(g.c), t=g.t)
+    return FlatGeom(n=g.n, h=g.h, w=g.w // 2, c=2 * _half_pad(g.c),
+                    t=stage_t(-(-g.h // 2)))
 
 
 def _half_pad(c: int) -> int:

@@ -60,8 +60,8 @@ import os as _os
 # the shift-einsum path (106.5 vs 98.0 ms/step, scripts/bench_step.py,
 # v5e batch 5 @480p): XLA's convs pick non-row-major activation layouts
 # and the kernel's row-major operands force relayout copies around it.
-# Default OFF until the flat-layout trunk (ops/flattrunk.py) makes the
-# whole hot path layout-free; env-overridable for A/B benchmarks.
+# Default OFF — the flat-layout trunk (ops/pallas/flatconv.py) makes the
+# whole hot path layout-free instead; env-overridable for A/B benchmarks.
 _USE_PALLAS_WGRAD = _os.environ.get("OSVOS_PALLAS_WGRAD", "0") != "0"
 
 

@@ -2,23 +2,32 @@
 
 The reference adapts the 20 DAVIS-2016 val sequences *serially* — one
 ``train_online.py`` run per sequence (SURVEY.md §2 parallelism table). The
-TPU-native replacement vmaps the entire jit'd fine-tune (see
-train/online.py) over a stacked (S, ...) parameter pytree and shards the
-sequence axis across a 1-D mesh with ``shard_map``. Each sequence's
-optimization is fully independent, so the mapped program is
-collective-free: S/num_devices fine-tunes run per chip, at native per-chip
-efficiency, with one dispatch for the whole val split.
+TPU-native replacement runs the jit'd fine-tune (see train/online.py) for
+many sequences against a 1-D ``shard_map`` mesh, under one of two
+schedules:
+
+- ``rounds`` (the production default whenever a mesh is given): ceil(S/D)
+  serial rounds of exactly ONE sequence per device. The per-device body
+  squeezes the singleton sequence axis before calling the chunk fn, so no
+  vmap is involved and the flat-trunk Pallas kernels (the fastest measured
+  fine-tune path) lower as-is. Measured on a real v5e, one
+  batch-``n_ave_grad`` sequence already saturates a chip, so this schedule
+  is also the fastest per sequence — see ``_fine_tune_rounds``.
+- ``packed``: a single dispatch that vmaps ceil(S/D) sequences per device.
+  One compile, one dispatch, but vmap-packing is a measured per-sequence
+  loss (BASELINE.md r2) and forces the flat trunk down to 'fast' (vmap of
+  the flat pallas_calls does not lower on TPU).
 
 Why shard_map rather than plain jit-of-vmap with sharded inputs: vmapping a
 conv over stacked kernels lowers to a feature_group_count=S grouped
 convolution, and the GSPMD partitioner cannot split such a conv along the
 group axis when each group has a single output feature (score_dsn/fuse are
 C->1 1x1 convs) — it emits an invalid per-shard conv. shard_map slices the
-sequence axis *before* tracing the convs, so every device just runs the
-local (S/D)-way vmapped program unpartitioned.
+sequence axis *before* tracing the convs, so every device just runs its
+local program unpartitioned.
 
-S not divisible by the mesh size is handled by padding with replicas of the
-last sequence and dropping their results.
+S not divisible by the round/mesh size is handled by padding with replicas
+of the last sequence and dropping their results.
 """
 
 from __future__ import annotations
@@ -74,6 +83,7 @@ def batched_fine_tune(
     pool_size: int = 100,
     step_mode: str = "microbatch",
     host_pool: bool = True,
+    schedule: str = "auto",
 ) -> Tuple[object, jnp.ndarray]:
     """Fine-tune S sequences concurrently.
 
@@ -81,26 +91,40 @@ def batched_fine_tune(
     ``stacked_params=True`` — an already-stacked (S, ...) pytree.
     Returns (stacked adapted params (S, ...), losses (S, n_steps)).
 
+    schedule: ``'rounds'`` — ceil(S/D) serial rounds of exactly one
+    sequence per device (flat kernels lower; measured fastest per
+    sequence); ``'packed'`` — one dispatch, vmap of ceil(S/D) sequences
+    per device (downgrades 'flat' to 'fast' with a warning); ``'auto'`` —
+    rounds whenever a mesh is given or the compute mode is 'flat', else
+    packed.
+
     Long runs are dispatched in ``cfg.scan_chunk``-step chunks with the
-    stacked (params, opt_state) donated between dispatches, keeping each
-    remote execution bounded. Pools come from host cv2 (``host_pool=True``,
+    (params, opt_state) donated between dispatches, keeping each remote
+    execution bounded. Pools come from host cv2 (``host_pool=True``,
     reference-exact interpolation) or the device warp.
     """
     from osvos_tpu.train.online import (_augment_pool, make_chunk_fn,
                                         make_online_optimizer)
 
     s = images.shape[0]
+    if schedule == "auto":
+        schedule = ("rounds"
+                    if mesh is not None or model_config.compute_mode == "flat"
+                    else "packed")
+    if schedule not in ("rounds", "packed"):
+        raise ValueError(f"unknown schedule {schedule!r}")
 
-    # Pool residency: pools live on device for the whole adaptation. Store
-    # them bf16 outside parity mode (the trunk computes in bf16 anyway) and
-    # cap pool_size so the per-device share stays within a fixed HBM budget
-    # — 20 val sequences at 480p with pool_size=100 would otherwise be
-    # ~13 GB of f32 on a single chip.
+    # Pool residency: pools live on device for the adaptation (the whole
+    # split under 'packed'; one round's worth under 'rounds'). Store them
+    # bf16 outside parity mode (the trunk computes in bf16 anyway) and cap
+    # pool_size so the per-device share stays within a fixed HBM budget —
+    # 20 val sequences at 480p with pool_size=100 would otherwise be
+    # ~13 GB of f32 on a single chip under 'packed'.
     pool_dtype = (jnp.float32 if model_config.compute_mode == "parity"
                   else jnp.bfloat16)
     if aug_mode == "pool":
         n_dev = mesh.devices.size if mesh is not None else 1
-        s_local = -(-s // n_dev)
+        s_local = 1 if schedule == "rounds" else -(-s // n_dev)
         h, w = images.shape[1], images.shape[2]
         budget = 4 * 2**30  # bytes of pool residency per device
         per_entry = s_local * h * w * 4 * jnp.dtype(pool_dtype).itemsize
@@ -116,9 +140,11 @@ def batched_fine_tune(
 
     if aug_mode == "pool":
         if host_pool:
+            # Kept on the HOST as numpy; each schedule transfers what it
+            # needs (the rounds path ships one round's slice at a time).
             pool_imgs, pool_masks = _host_pools(images, masks, cfg, pool_size)
-            pool_imgs = jnp.asarray(pool_imgs, pool_dtype)
-            pool_masks = jnp.asarray(pool_masks, pool_dtype)
+            pool_imgs = pool_imgs.astype(pool_dtype)
+            pool_masks = pool_masks.astype(pool_dtype)
         else:
             keys_pool = jax.random.split(jax.random.PRNGKey(cfg.seed + 7), s)
             pool_imgs, pool_masks = jax.vmap(
@@ -144,6 +170,36 @@ def batched_fine_tune(
     seq_keys = jax.random.split(jax.random.PRNGKey(cfg.seed), s)
     step_keys = jax.vmap(lambda k: jax.random.split(k, cfg.n_steps))(seq_keys)
 
+    chunk_len = max(1, getattr(cfg, "scan_chunk", 250))
+
+    if schedule == "rounds":
+        chunk = make_chunk_fn(model_config, cfg, aug_mode=aug_mode,
+                              step_mode=step_mode)
+        return _fine_tune_rounds(params, opt_state, pool_imgs, pool_masks,
+                                 step_keys, chunk, cfg, mesh, axis_name, s,
+                                 chunk_len)
+
+    # --- 'packed' schedule: one dispatch, vmap over the local sequences ---
+    import dataclasses as _dc
+
+    if model_config.compute_mode == "flat":
+        # vmap of the flat-trunk pallas kernels does not lower on TPU
+        # (ANY-memory-space inputs must cover the whole array under a
+        # trivial index map, which the batching transform breaks).
+        # Checkpoints are mode-independent: purely a kernel choice.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "batched_fine_tune(schedule='packed'): the flat-trunk pallas "
+            "kernels cannot be vmapped on TPU; running this adaptation "
+            "with compute_mode='fast' (~33%% slower trunk). Use "
+            "schedule='rounds' to keep the flat kernels.")
+        model_config = _dc.replace(model_config, compute_mode="fast")
+    chunk = make_chunk_fn(model_config, cfg, aug_mode=aug_mode,
+                          step_mode=step_mode)
+
+    pool_imgs = jnp.asarray(pool_imgs)
+    pool_masks = jnp.asarray(pool_masks)
     s_padded = s
     if mesh is not None:
         n_dev = mesh.devices.size
@@ -154,40 +210,14 @@ def batched_fine_tune(
         pool_masks = _pad_to(pool_masks, s_padded)
         step_keys = _pad_to(step_keys, s_padded)
 
-    import dataclasses as _dc
-
-    if model_config.compute_mode == "flat" and (
-            mesh is None or s_padded != mesh.devices.size):
-        # vmap of the flat-trunk pallas kernels does not lower on TPU
-        # (ANY-memory-space inputs must cover the whole array under a
-        # trivial index map, which the batching transform breaks), so any
-        # path that needs a real vmap runs the 'fast' trunk instead.
-        # Checkpoints are mode-independent: purely a kernel choice.
-        model_config = _dc.replace(model_config, compute_mode="fast")
-    chunk = make_chunk_fn(model_config, cfg, aug_mode=aug_mode,
-                          step_mode=step_mode)
-
-    chunk_len = max(1, getattr(cfg, "scan_chunk", 250))
-
-    if mesh is not None and s_padded == mesh.devices.size:
-        # One sequence per device — no vmap, so the flat-trunk kernels
-        # lower as-is, and measured per-sequence throughput beats
-        # vmap-packing (a single batch-n_ave_grad sequence already
-        # saturates the chip: S=2 packing ran 148 ms/step/seq vs 75
-        # serial, bench.py). Callers with more sequences than devices
-        # get round-robin scheduling via this same path (see
-        # batched_fine_tune_rounds below... the padding above made
-        # s_padded a multiple of n_dev; rounds loop is in run_batched's
-        # caller-visible behavior: each jit call adapts n_dev sequences).
-        def per_device(p, o, pi, pm, k):
-            sq = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
-            ex = lambda t: jax.tree.map(lambda a: a[None], t)  # noqa: E731
-            np_, no_, l = chunk(sq(p), sq(o), sq(pi), sq(pm), sq(k))
-            return ex(np_), ex(no_), l[None]
-
+    vmapped = jax.vmap(chunk, in_axes=(0, 0, 0, 0, 0))
+    if mesh is not None:
         spec = P(axis_name)
+        # check_vma=False: pallas_call carries no varying-mesh-axis
+        # metadata; the map is collective-free so the check adds
+        # nothing here.
         mapped = jax.shard_map(
-            per_device, mesh=mesh,
+            vmapped, mesh=mesh,
             in_specs=(spec, spec, spec, spec, spec),
             out_specs=(spec, spec, spec), check_vma=False)
         shard = NamedSharding(mesh, spec)
@@ -198,25 +228,7 @@ def batched_fine_tune(
         step_keys = jax.device_put(step_keys, shard)
         fn = jax.jit(mapped, donate_argnums=(0, 1))
     else:
-        vmapped = jax.vmap(chunk, in_axes=(0, 0, 0, 0, 0))
-        if mesh is not None:
-            spec = P(axis_name)
-            # check_vma=False: pallas_call carries no varying-mesh-axis
-            # metadata; the map is collective-free so the check adds
-            # nothing here.
-            mapped = jax.shard_map(
-                vmapped, mesh=mesh,
-                in_specs=(spec, spec, spec, spec, spec),
-                out_specs=(spec, spec, spec), check_vma=False)
-            shard = NamedSharding(mesh, spec)
-            params = jax.device_put(params, shard)
-            opt_state = jax.device_put(opt_state, shard)
-            pool_imgs = jax.device_put(pool_imgs, shard)
-            pool_masks = jax.device_put(pool_masks, shard)
-            step_keys = jax.device_put(step_keys, shard)
-            fn = jax.jit(mapped, donate_argnums=(0, 1))
-        else:
-            fn = jax.jit(vmapped, donate_argnums=(0, 1))
+        fn = jax.jit(vmapped, donate_argnums=(0, 1))
 
     losses = []
     for start in range(0, cfg.n_steps, chunk_len):
@@ -229,6 +241,82 @@ def batched_fine_tune(
         new_params = jax.tree.map(lambda p: p[:s], new_params)
         losses = losses[:s]
     return new_params, losses
+
+
+def make_rounds_fn(chunk, mesh: Optional[Mesh] = None,
+                   axis_name: str = "seq"):
+    """Build the per-round executor of the 'rounds' schedule.
+
+    Returns ``(fn, put)``: ``fn(params, opt_state, pool_imgs, pool_masks,
+    keys)`` runs one round — every operand stacked to (D, ...), one
+    sequence per device (D=1 when ``mesh`` is None) — by squeezing the
+    singleton sequence axis per device and calling ``chunk``. No vmap is
+    involved, so the flat-trunk Pallas kernels lower as-is. ``put`` places
+    a round's operand tree on the mesh. One compiled executable serves
+    every round (identical shapes); (params, opt_state) are donated.
+    Exposed so the benchmark can time the exact production executor.
+    """
+
+    def per_device(p, o, pi, pm, k):
+        sq = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
+        ex = lambda t: jax.tree.map(lambda a: a[None], t)  # noqa: E731
+        np_, no_, l = chunk(sq(p), sq(o), sq(pi), sq(pm), sq(k))
+        return ex(np_), ex(no_), l[None]
+
+    if mesh is not None:
+        spec = P(axis_name)
+        mapped = jax.shard_map(
+            per_device, mesh=mesh,
+            in_specs=(spec, spec, spec, spec, spec),
+            out_specs=(spec, spec, spec), check_vma=False)
+        fn = jax.jit(mapped, donate_argnums=(0, 1))
+        shard = NamedSharding(mesh, spec)
+        put = lambda t: jax.device_put(t, shard)  # noqa: E731
+    else:
+        fn = jax.jit(per_device, donate_argnums=(0, 1))
+        put = lambda t: t  # noqa: E731
+    return fn, put
+
+
+def _fine_tune_rounds(params, opt_state, pool_imgs, pool_masks, step_keys,
+                      chunk, cfg, mesh, axis_name, s, chunk_len):
+    """ceil(S/D) serial rounds of exactly ONE sequence per device.
+
+    Measured on a real v5e, one batch-``n_ave_grad`` sequence already
+    saturates a chip, so vmap-packing S/D sequences per device is a
+    per-sequence LOSS (148 ms/step/seq at S=2 packed vs 75 serial,
+    BASELINE.md r2): rounds of one sequence per device are both the
+    fastest and the only flat-compatible schedule. The final short round
+    is padded with replicas of the last sequence and the pads are dropped
+    on return. With ``mesh=None`` the rounds degenerate to a serial
+    per-sequence loop on the default device — still the flat-kernel path.
+    """
+    d = mesh.devices.size if mesh is not None else 1
+    fn, put = make_rounds_fn(chunk, mesh, axis_name)
+
+    out_params, out_losses = [], []
+    for r0 in range(0, s, d):
+        n_real = min(d, s - r0)
+
+        def take(t):
+            return put(jax.tree.map(
+                lambda a: _pad_to(jnp.asarray(a[r0:r0 + n_real]), d), t))
+
+        p_r, o_r = take(params), take(opt_state)
+        pi_r, pm_r = take(pool_imgs), take(pool_masks)
+        k_r = _pad_to(step_keys[r0:r0 + n_real], d)
+        losses_r = []
+        for start in range(0, cfg.n_steps, chunk_len):
+            p_r, o_r, l = fn(p_r, o_r, pi_r, pm_r,
+                             put(k_r[:, start:start + chunk_len]))
+            losses_r.append(l)
+        out_params.append(jax.tree.map(lambda a: a[:n_real], p_r))
+        out_losses.append(jnp.concatenate(losses_r, axis=1)[:n_real])
+
+    if len(out_params) == 1:
+        return out_params[0], out_losses[0]
+    new_params = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *out_params)
+    return new_params, jnp.concatenate(out_losses, axis=0)
 
 
 def unstack_params(stacked, index: int):

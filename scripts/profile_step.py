@@ -52,7 +52,7 @@ def summarize(log_dir: str, steps: int) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--what", default="online_step",
-                    choices=["online_step", "infer"])
+                    choices=["online_step", "infer", "chunk"])
     ap.add_argument("--out", default="/tmp/osvos_trace")
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--batch", type=int, default=5)
@@ -73,6 +73,42 @@ def main() -> None:
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(args.batch, args.height, args.width, 3)
                     .astype(np.float32) * 30)
+
+    if args.what == "chunk":
+        # The PRODUCTION online fine-tune dispatch: a scan of `--steps`
+        # optimizer steps (aug draw + fwd + bwd + grouped SGD), exactly
+        # what run_online/batched rounds execute. This is the trace that
+        # attributes the full ms/step budget, not just fwd+bwd.
+        from osvos_tpu.configs import OnlineConfig
+        from osvos_tpu.train.online import make_chunk_fn, make_online_optimizer
+
+        ocfg = OnlineConfig(n_steps=args.steps, n_ave_grad=args.batch,
+                            scan_chunk=args.steps)
+        pool = 4
+        pdt = jnp.bfloat16 if args.mode != "parity" else jnp.float32
+        pool_imgs = jnp.asarray(
+            rng.randn(pool, args.height, args.width, 3).astype(np.float32)
+            * 30, pdt)
+        pool_masks = jnp.asarray(
+            (rng.rand(pool, args.height, args.width, 1) > 0.5)
+            .astype(np.float32), pdt)
+        chunk = jax.jit(make_chunk_fn(cfg, ocfg))
+        tx = make_online_optimizer(params, ocfg, "microbatch")
+        opt_state = tx.init(params)
+        keys = jax.random.split(jax.random.PRNGKey(1), args.steps)
+
+        def fn(p, v):
+            del v
+            return chunk(p, opt_state, pool_imgs, pool_masks, keys)
+
+        jax.block_until_ready(fn(params, x))
+        jax.block_until_ready(fn(params, x))
+        os.makedirs(args.out, exist_ok=True)
+        with jax.profiler.trace(args.out, create_perfetto_trace=True):
+            o = fn(params, x)
+            jax.block_until_ready(o)
+        summarize(args.out, args.steps)
+        return
 
     if args.what == "online_step":
         from osvos_tpu.ops.loss import (

@@ -225,6 +225,9 @@ def main() -> None:
                 print(f"[{seq_name}] J={m['J_mean']:.4f} "
                       f"F={m['F_mean']:.4f}", flush=True)
                 return m
+            print(f"[{seq_name}] WARNING: skipping J/F — {len(anns)} "
+                  f"annotations in {ann_dir} vs {len(masks)} predicted "
+                  f"masks (mismatched directory?)", flush=True)
         return None
 
     def run_batched(seqs):

@@ -41,6 +41,9 @@ def main() -> None:
                     help="'flat' runs the trunk fwd+bwd in the flat-layout "
                          "Pallas kernels (fastest backward; train-mode "
                          "gradient parity tested vs 'fast')")
+    ap.add_argument("--loss_impl", default="xla", choices=["xla", "pallas"],
+                    help="CB-BCE implementation for the training loss "
+                         "(ParentConfig.loss_impl)")
     ap.add_argument("--data_parallel", type=int, default=0,
                     help="devices for batch-parallel training (0 = all)")
     ap.add_argument("--input_h", type=int, default=480)
@@ -80,7 +83,7 @@ def main() -> None:
         n_ave_grad=args.n_ave_grad, snapshot_every=args.snapshot,
         lr=args.lr, weight_decay=args.weight_decay, momentum=args.momentum,
         use_test=not args.no_test, test_interval=args.test_interval,
-        seed=args.seed)
+        loss_impl=args.loss_impl, seed=args.seed)
     if args.tiny:
         model_config = ModelConfig(
             stages=((8, 8), (12, 12), (16, 16, 16), (16, 16, 16),

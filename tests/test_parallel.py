@@ -44,32 +44,29 @@ def test_eight_virtual_devices_present():
     assert len(jax.devices()) == 8
 
 
-def test_batched_fine_tune_matches_sequential(tiny_params, rng):
-    """vmapped+sharded+chunked adaptation == running the same chunk fn one
-    sequence at a time with identical pools and key streams."""
+def _sequential_reference(tiny_params, imgs, masks, cfg, s, pool_size=4):
+    """The same chunk machinery run one sequence at a time, single
+    dispatch — the ground truth both schedules must reproduce."""
     from osvos_tpu.parallel.batched_online import _host_pools
     from osvos_tpu.train.online import make_chunk_fn, make_online_optimizer
 
-    imgs, masks = _pairs(rng, 2)
-    cfg = OnlineConfig(n_steps=4, n_ave_grad=2, lr=1e-5, scan_chunk=2)
-
-    mesh = make_mesh("seq", n_devices=2)
-    stacked, losses = batched_fine_tune(
-        tiny_params, imgs, masks, TINY, cfg, mesh=mesh, aug_mode="pool",
-        pool_size=4)
-    assert losses.shape == (2, 4)
-
-    # reference: same machinery, one sequence at a time, single dispatch
-    pool_i, pool_m = _host_pools(imgs, masks, cfg, 4)
+    pool_i, pool_m = _host_pools(imgs, masks, cfg, pool_size)
     chunk = jax.jit(make_chunk_fn(TINY, cfg))
-    seq_keys = jax.random.split(jax.random.PRNGKey(cfg.seed), 2)
-    for i in range(2):
+    seq_keys = jax.random.split(jax.random.PRNGKey(cfg.seed), s)
+    out = []
+    for i in range(s):
         p = jax.tree.map(jnp.array, tiny_params)
         tx = make_online_optimizer(p, cfg, "microbatch")
         st = tx.init(p)
         keys_i = jax.random.split(seq_keys[i], cfg.n_steps)
         p_i, _, l_i = chunk(p, st, jnp.asarray(pool_i[i]),
                             jnp.asarray(pool_m[i]), keys_i)
+        out.append((p_i, l_i))
+    return out
+
+
+def _assert_matches_sequential(stacked, losses, want):
+    for i, (p_i, l_i) in enumerate(want):
         np.testing.assert_allclose(np.asarray(losses[i]), np.asarray(l_i),
                                    rtol=1e-4, err_msg=f"seq {i} losses")
         got = unstack_params(stacked, i)
@@ -78,6 +75,55 @@ def test_batched_fine_tune_matches_sequential(tiny_params, rng):
         for g, w in zip(flat_g, flat_w):
             np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                        rtol=1e-4, atol=1e-7)
+
+
+def test_batched_fine_tune_packed_matches_sequential(tiny_params, rng):
+    """'packed' (vmapped+sharded+chunked) adaptation == running the same
+    chunk fn one sequence at a time with identical pools and key streams."""
+    imgs, masks = _pairs(rng, 2)
+    cfg = OnlineConfig(n_steps=4, n_ave_grad=2, lr=1e-5, scan_chunk=2)
+
+    mesh = make_mesh("seq", n_devices=2)
+    stacked, losses = batched_fine_tune(
+        tiny_params, imgs, masks, TINY, cfg, mesh=mesh, aug_mode="pool",
+        pool_size=4, schedule="packed")
+    assert losses.shape == (2, 4)
+    _assert_matches_sequential(stacked, losses,
+                               _sequential_reference(tiny_params, imgs, masks,
+                                                     cfg, 2))
+
+
+def test_batched_fine_tune_rounds_matches_sequential(tiny_params, rng):
+    """The production 'rounds' scheduler (2 serial rounds of one sequence
+    per device: 3 sequences on a 2-device mesh, last round padded) ==
+    sequential per-sequence adaptation."""
+    imgs, masks = _pairs(rng, 3)
+    cfg = OnlineConfig(n_steps=4, n_ave_grad=2, lr=1e-5, scan_chunk=2)
+
+    mesh = make_mesh("seq", n_devices=2)
+    stacked, losses = batched_fine_tune(
+        tiny_params, imgs, masks, TINY, cfg, mesh=mesh, aug_mode="pool",
+        pool_size=4, schedule="rounds")
+    assert losses.shape == (3, 4)
+    leaves = jax.tree_util.tree_leaves(stacked)
+    assert all(l.shape[0] == 3 for l in leaves)
+    _assert_matches_sequential(stacked, losses,
+                               _sequential_reference(tiny_params, imgs, masks,
+                                                     cfg, 3))
+
+
+def test_batched_fine_tune_rounds_no_mesh(tiny_params, rng):
+    """mesh=None rounds degenerate to a serial per-sequence loop on the
+    default device (the one-real-chip val protocol) and still match."""
+    imgs, masks = _pairs(rng, 2)
+    cfg = OnlineConfig(n_steps=2, n_ave_grad=2, lr=1e-5)
+    stacked, losses = batched_fine_tune(
+        tiny_params, imgs, masks, TINY, cfg, mesh=None, aug_mode="pool",
+        pool_size=4, schedule="rounds")
+    assert losses.shape == (2, 2)
+    _assert_matches_sequential(stacked, losses,
+                               _sequential_reference(tiny_params, imgs, masks,
+                                                     cfg, 2))
 
 
 def test_batched_fine_tune_pads_uneven_sequences(tiny_params, rng):

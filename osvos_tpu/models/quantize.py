@@ -23,15 +23,9 @@ from osvos_tpu.configs import ModelConfig
 from osvos_tpu.ops.pool import max_pool_ceil
 
 
-def calibrate_int8_scales(
-    params,
-    images: jnp.ndarray,          # (N, H, W, 3) preprocessed frames
-    config: ModelConfig = ModelConfig(),
-    margin: float = 1.05,
-) -> Tuple[float, ...]:
-    """Per-trunk-conv max|input| * margin, in stage_conv_names order."""
+def _make_calibration_run(config: ModelConfig):
+    """``run(params, x) -> (n_trunk_convs,) f32`` max|input| per conv."""
 
-    @jax.jit
     def run(params, x):
         maxes = []
         v = x.astype(jnp.bfloat16)
@@ -53,5 +47,36 @@ def calibrate_int8_scales(
                 v = conv(v, f"stage{i + 1}_conv{j}")
         return jnp.stack(maxes)
 
+    return run
+
+
+def calibrate_int8_scales(
+    params,
+    images: jnp.ndarray,          # (N, H, W, 3) preprocessed frames
+    config: ModelConfig = ModelConfig(),
+    margin: float = 1.05,
+) -> Tuple[float, ...]:
+    """Per-trunk-conv max|input| * margin, in stage_conv_names order."""
+    run = jax.jit(_make_calibration_run(config))
     maxes = jax.device_get(run(params, jnp.asarray(images)))
     return tuple(float(m) * margin for m in maxes)
+
+
+def calibrate_int8_scales_batched(
+    stacked_params,               # (S, ...) pytree of per-sequence params
+    images: jnp.ndarray,          # (S, H, W, 3) or (S, N, H, W, 3) frames
+    config: ModelConfig = ModelConfig(),
+    margin: float = 1.05,
+) -> jnp.ndarray:
+    """(S, n_trunk_convs) float32 per-SEQUENCE calibration in one compile.
+
+    The batched val protocol calibrates each sequence on its own first
+    frame against its own adapted trunk, then feeds the result through
+    ``batched_infer(act_scales=...)`` as a traced operand — static-scale
+    int8 throughput (~40% over dynamic) without one recompile per
+    sequence."""
+    if images.ndim == 4:
+        images = images[:, None]
+    run = _make_calibration_run(config)
+    maxes = jax.jit(jax.vmap(run))(stacked_params, jnp.asarray(images))
+    return maxes * jnp.float32(margin)

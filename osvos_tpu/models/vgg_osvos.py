@@ -53,10 +53,15 @@ class _Int8Conv(nn.Module):
     features: int
     kernel_size: int = 3
     out_dtype: jnp.dtype = jnp.bfloat16
-    act_scale: Optional[float] = None  # max|x|-scale; None -> dynamic
+    act_scale: Optional[float] = None  # static max|x|-scale; None -> dynamic
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 act_scale: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """``act_scale``: optional TRACED max|x| scalar overriding the
+        static ``self.act_scale`` — lets batched multi-sequence inference
+        feed per-sequence calibration through one compiled program
+        (scales as operands, not baked constants)."""
         k = self.kernel_size
         in_feats = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
@@ -67,7 +72,9 @@ class _Int8Conv(nn.Module):
         w_scale = jnp.max(jnp.abs(kernel), axis=(0, 1, 2), keepdims=True) \
             / 127.0 + 1e-30
         w_q = jnp.clip(jnp.round(kernel / w_scale), -127, 127).astype(jnp.int8)
-        if self.act_scale is not None:
+        if act_scale is not None:
+            x_scale = jnp.asarray(act_scale, jnp.float32) / 127.0
+        elif self.act_scale is not None:
             x_scale = jnp.float32(self.act_scale / 127.0)
         else:
             x_scale = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0 + 1e-30
@@ -166,8 +173,16 @@ class OSVOS(nn.Module):
         return zf, g
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mode: str = "train") -> List[jnp.ndarray]:
+    def __call__(self, x: jnp.ndarray, mode: str = "train",
+                 act_scales: Optional[jnp.ndarray] = None
+                 ) -> List[jnp.ndarray]:
         """x: (N, H, W, 3) preprocessed frames (BGR minus caffe mean).
+
+        act_scales: optional (n_trunk_convs,) float32 array of TRACED
+        per-conv max|input| calibration scales for the int8 trunk,
+        overriding the static ``config.int8_scales`` — the batched
+        val-protocol path feeds per-sequence calibration through one
+        compiled program this way (see parallel/batched_online.py).
 
         mode='train': five (N, H, W, 1) float32 logit maps — four side
         outputs and the fused output, the reference ``forward`` order
@@ -215,9 +230,10 @@ class OSVOS(nn.Module):
             if self._use_int8(v.shape[-1]):
                 scale = (cfg.int8_scales[idx]
                          if cfg.int8_scales is not None else None)
+                traced = act_scales[idx] if act_scales is not None else None
                 return _Int8Conv(features=feats, kernel_size=3,
                                  out_dtype=dtype, act_scale=scale,
-                                 name=name)(v)
+                                 name=name)(v, act_scale=traced)
             if cfg.compute_mode == "fast" and cfg.fast_conv_vjp:
                 return _FastConv(features=feats, name=name)(v)
             return conv(feats, 3, name)(v)

@@ -334,37 +334,54 @@ def batched_infer(
     model_config: ModelConfig,
     mesh: Optional[Mesh] = None,
     axis_name: str = "seq",
+    act_scales: Optional[jnp.ndarray] = None,  # (S, n_trunk_convs) f32
 ) -> jnp.ndarray:
     """Per-sequence-adapted inference over padded frame stacks.
 
     Returns (S, T, H, W) uint8 probability maps. Frame counts differ across
     DAVIS sequences; callers pad T to the max (masking is a host concern —
     padded frames are simply ignored downstream).
+
+    act_scales: per-sequence int8 activation calibration
+    (models/quantize.calibrate_int8_scales_batched) fed through the
+    program as a TRACED operand — every sequence gets its own static
+    scales from ONE compiled executable (baking them into
+    ``model_config.int8_scales`` would recompile per sequence).
     """
     from osvos_tpu.models.vgg_osvos import OSVOS
 
     model = OSVOS(model_config)
 
-    def one_seq(p, seq_frames):
-        logits = model.apply({"params": p}, seq_frames, mode="infer")[-1]
+    def one_seq(p, seq_frames, scales):
+        logits = model.apply({"params": p}, seq_frames, mode="infer",
+                             act_scales=scales)[-1]
         return jnp.round(255.0 * jax.nn.sigmoid(logits[..., 0])).astype(
             jnp.uint8)
 
-    vmapped = jax.vmap(one_seq, in_axes=(0, 0))
+    if act_scales is None:
+        def one_seq_ns(p, seq_frames):
+            return one_seq(p, seq_frames, None)
+
+        vmapped = jax.vmap(one_seq_ns, in_axes=(0, 0))
+        operands = (stacked_params, frames)
+    else:
+        vmapped = jax.vmap(one_seq, in_axes=(0, 0, 0))
+        operands = (stacked_params, frames, jnp.asarray(act_scales,
+                                                        jnp.float32))
     if mesh is not None:
         spec = P(axis_name)
         shard = NamedSharding(mesh, spec)
         s = frames.shape[0]
         n_dev = mesh.devices.size
         s_padded = -(-s // n_dev) * n_dev
-        stacked_params = jax.tree.map(lambda p: _pad_to(p, s_padded),
-                                      stacked_params)
-        frames = _pad_to(frames, s_padded)
-        mapped = jax.shard_map(vmapped, mesh=mesh, in_specs=(spec, spec),
+        operands = tuple(
+            jax.device_put(jax.tree.map(lambda p: _pad_to(p, s_padded), op),
+                           shard)
+            for op in operands)
+        mapped = jax.shard_map(vmapped, mesh=mesh,
+                               in_specs=(spec,) * len(operands),
                                check_vma=False,
                                out_specs=spec)
-        stacked_params = jax.device_put(stacked_params, shard)
-        frames = jax.device_put(frames, shard)
-        out = jax.jit(mapped)(stacked_params, frames)
+        out = jax.jit(mapped)(*operands)
         return out[:s]
-    return jax.jit(vmapped)(stacked_params, frames)
+    return jax.jit(vmapped)(*operands)

@@ -67,7 +67,35 @@ def make_parent_train_step(model_config: ModelConfig, cfg: ParentConfig):
             return params, opt_state, {"total": total, "per_output": losses}
         return step
 
-    return loss_fn, make
+    def make_sharded(tx, mesh: Mesh, axis: str = "data"):
+        """Explicit shard_map DP step for the 'flat' trunk: the flat
+        Pallas buffers fold the batch into their row dimension, so the
+        GSPMD partitioner cannot split the pallas_calls along the batch —
+        instead each device runs the whole flat trunk on its LOCAL batch
+        shard and the gradients/metrics are pmean'd over the axis (the
+        same mean-of-per-sample semantics as the single-device step; XLA
+        rides the psum over ICI). Requires batch % n_devices == 0."""
+
+        def local_grads(params, images, gts, side_weight):
+            (total, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, images, gts, side_weight)
+            grads = jax.lax.pmean(grads, axis)
+            return (jax.lax.pmean(total, axis),
+                    jax.lax.pmean(losses, axis), grads)
+
+        smapped = jax.shard_map(
+            local_grads, mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P()),
+            out_specs=(P(), P(), P()), check_vma=False)
+
+        def step(params, opt_state, images, gts, side_weight):
+            total, losses, grads = smapped(params, images, gts, side_weight)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda a, b: a + b, params, updates)
+            return params, opt_state, {"total": total, "per_output": losses}
+        return step
+
+    return loss_fn, make, make_sharded
 
 
 class ParentTrainer:
@@ -85,23 +113,34 @@ class ParentTrainer:
         self.params = jax.tree.map(jnp.array, params)
         self.opt_state = self.tx.init(params)
         self.mesh = mesh
-        _, make = make_parent_train_step(model_config, cfg)
-        step = make(self.tx)
+        _, make, make_sharded = make_parent_train_step(model_config, cfg)
 
         if mesh is not None:
             repl = NamedSharding(mesh, P())
             data = NamedSharding(mesh, P("data"))
             self.params = jax.device_put(self.params, repl)
             self.opt_state = jax.device_put(self.opt_state, repl)
-            self._step = jax.jit(
-                step,
-                in_shardings=(repl, repl, data, data, None),
-                out_shardings=(repl, repl, repl),
-                donate_argnums=(0, 1),
-            )
+            if model_config.compute_mode == "flat":
+                # GSPMD cannot batch-partition the flat pallas_calls
+                # (batch rides inside the flat row dim): shard explicitly.
+                n_dev = mesh.devices.size
+                if cfg.batch_size % n_dev:
+                    raise ValueError(
+                        f"compute_mode='flat' data-parallel training needs "
+                        f"batch_size ({cfg.batch_size}) divisible by the "
+                        f"mesh size ({n_dev})")
+                self._step = jax.jit(make_sharded(self.tx, mesh),
+                                     donate_argnums=(0, 1))
+            else:
+                self._step = jax.jit(
+                    make(self.tx),
+                    in_shardings=(repl, repl, data, data, None),
+                    out_shardings=(repl, repl, repl),
+                    donate_argnums=(0, 1),
+                )
             self._data_sharding = data
         else:
-            self._step = jax.jit(step, donate_argnums=(0, 1))
+            self._step = jax.jit(make(self.tx), donate_argnums=(0, 1))
             self._data_sharding = None
 
         model = OSVOS(model_config)

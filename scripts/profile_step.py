@@ -101,12 +101,12 @@ def main() -> None:
             del v
             return chunk(p, opt_state, pool_imgs, pool_masks, keys)
 
-        jax.block_until_ready(fn(params, x))
-        jax.block_until_ready(fn(params, x))
+        np.asarray(fn(params, x)[2])  # compile + warm; host fetch = sync
+        np.asarray(fn(params, x)[2])  # (block_until_ready lies on the tunnel)
         os.makedirs(args.out, exist_ok=True)
         with jax.profiler.trace(args.out, create_perfetto_trace=True):
             o = fn(params, x)
-            jax.block_until_ready(o)
+            np.asarray(o[2])
         summarize(args.out, args.steps)
         return
 
@@ -128,13 +128,13 @@ def main() -> None:
 
         fn = make_infer_fn(cfg)
 
-    jax.block_until_ready(fn(params, x))
-    jax.block_until_ready(fn(params, x))
+    jax.tree.map(np.asarray, fn(params, x))  # compile+warm (host-fetch sync)
+    jax.tree.map(np.asarray, fn(params, x))
     os.makedirs(args.out, exist_ok=True)
     with jax.profiler.trace(args.out, create_perfetto_trace=True):
         for _ in range(args.steps):
             o = fn(params, x)
-        jax.block_until_ready(o)
+        jax.tree.map(np.asarray, o)
     summarize(args.out, args.steps)
 
 

@@ -277,17 +277,24 @@ def main() -> None:
         t_max = max(len(f) for f in frame_lists)
         padded = np.stack([
             np.stack(f + [f[-1]] * (t_max - len(f))) for f in frame_lists])
-        # int8 here uses dynamic per-batch activation scales: static
-        # per-sequence calibration would bake 20 different scale constants
-        # into 20 recompiles of the vmapped program.
         icfg = model_config
         if infer_mode != model_config.compute_mode:
             import dataclasses as _dc
 
             icfg = _dc.replace(model_config, compute_mode=infer_mode,
                                int8_scales=None)
+        act_scales = None
+        if infer_mode == "int8":
+            # Static per-sequence calibration (each sequence's first frame
+            # against its own adapted trunk), fed through batched_infer as
+            # a traced operand — one compile, static-scale throughput.
+            from osvos_tpu.models.quantize import calibrate_int8_scales_batched
+
+            act_scales = calibrate_int8_scales_batched(
+                adapted, jnp.asarray(np.stack(first_imgs)), icfg)
         masks = np.asarray(batched_infer(adapted, jnp.asarray(padded),
-                                         icfg, mesh=mesh))
+                                         icfg, mesh=mesh,
+                                         act_scales=act_scales))
         if not args.no_save:
             for si, seq in enumerate(seqs):
                 for ti, fname in enumerate(name_lists[si]):

@@ -115,6 +115,7 @@ def _tiny_model(mode):
     return OSVOS(ModelConfig(compute_mode=mode, **TINY))
 
 
+@pytest.mark.slow
 def test_flat_model_param_tree_matches_fast(rng):
     import jax
     from osvos_tpu.models import init_osvos_params
@@ -133,6 +134,7 @@ def test_flat_model_param_tree_matches_fast(rng):
 
 
 @pytest.mark.parametrize("mode", ["train", "infer"])
+@pytest.mark.slow
 def test_flat_model_forward_matches_fast(rng, mode):
     import jax
     from osvos_tpu.models import init_osvos_params
@@ -152,6 +154,7 @@ def test_flat_model_forward_matches_fast(rng, mode):
                                    atol=4e-2 * scale)
 
 
+@pytest.mark.slow
 def test_flat_model_grads_match_fast(rng):
     import jax
     from osvos_tpu.models import init_osvos_params
@@ -227,6 +230,7 @@ def test_packed_conv_matches_ref(rng):
     np.testing.assert_allclose(got, want, atol=3e-2 * np.abs(want).max())
 
 
+@pytest.mark.slow
 def test_packed_model_matches_fast(rng):
     """Even frame dims gate the packed stem/stage-1/pool path; it must
     agree with 'fast' like the unpacked flat path does."""
@@ -260,6 +264,7 @@ def test_packed_model_matches_fast(rng):
                                    atol=6e-2 * scale, err_msg=str(path))
 
 
+@pytest.mark.slow
 def test_flat_model_train_mode_grads_match_fast(rng):
     """Deep-supervision (train-mode) gradients through the flat trunk —
     gates exposing compute_mode='flat' in the parent trainer."""

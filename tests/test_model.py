@@ -80,6 +80,7 @@ def test_forward_parity_vs_float64_oracle(torch_net, rng):
                                    atol=1e-5 * scale, err_msg=f"output {i}")
 
 
+@pytest.mark.slow
 def test_output_shapes_davis_like():
     # Full odd-shape chain (480p DAVIS) — shapes only, tiny channel config
     # to keep CPU time sane.
@@ -93,6 +94,7 @@ def test_output_shapes_davis_like():
         assert o.shape == (1, 480, 854, 1)
 
 
+@pytest.mark.slow
 def test_init_matches_reference_distribution():
     params = init_osvos_params(jax.random.PRNGKey(0))
     k = np.asarray(params["side_prep1"]["kernel"])
@@ -129,6 +131,7 @@ def test_infer_mode_matches_train_fused_output(ported_params, rng, hw):
                                np.asarray(train_out), atol=2e-4 * scale)
 
 
+@pytest.mark.slow
 def test_int8_mode_close_to_parity(ported_params, rng):
     """int8 trunk inference: same params, bounded deviation from the f32
     fused output and >=99% mask-pixel agreement at the 0.5 threshold."""
@@ -146,6 +149,7 @@ def test_int8_mode_close_to_parity(ported_params, rng):
     assert agree >= 0.99, agree
 
 
+@pytest.mark.slow
 def test_int8_static_scales_close_to_dynamic(ported_params, rng):
     """Calibrated static scales must track dynamic-max quantization."""
     import dataclasses
@@ -167,6 +171,7 @@ def test_int8_static_scales_close_to_dynamic(ported_params, rng):
     assert float(np.abs(o_d - o_s).max()) / denom < 0.2
 
 
+@pytest.mark.slow
 def test_int8_agreement_after_fine_tuning(rng):
     """int8 inference must track the f32 path on a model that actually
     learned something (fine-tuned on a synthetic pair), not just at random

@@ -77,6 +77,7 @@ def _assert_matches_sequential(stacked, losses, want):
                                        rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_batched_fine_tune_packed_matches_sequential(tiny_params, rng):
     """'packed' (vmapped+sharded+chunked) adaptation == running the same
     chunk fn one sequence at a time with identical pools and key streams."""
@@ -151,6 +152,37 @@ def test_batched_infer_sharded(tiny_params, rng):
     assert out.dtype == jnp.uint8
 
 
+def test_batched_infer_static_int8_scales_match_f32(tiny_params, rng):
+    """Batched inference with PER-SEQUENCE static int8 scales (traced
+    operands through shard_map — one compile for the whole val split) must
+    agree with the f32 path on >=99% of thresholded mask pixels."""
+    import dataclasses
+
+    from osvos_tpu.models.quantize import calibrate_int8_scales_batched
+
+    # scale the head params up so logits are decisively signed (fresh-init
+    # heads sit at ~0 -> sigmoid 0.5, where thresholding is knife-edge)
+    p = jax.tree.map(jnp.array, tiny_params)
+    for name in ["side_prep1", "side_prep2", "side_prep3", "side_prep4"]:
+        p[name]["kernel"] = p[name]["kernel"] * 50.0
+    p["fuse"]["kernel"] = p["fuse"]["kernel"] * 200.0
+
+    imgs, _ = _pairs(rng, 2)
+    frames = jnp.stack([imgs, imgs[::-1]], axis=1)  # (S=2, T=2, H, W, 3)
+    stacked = stack_param_list([p, jax.tree.map(lambda a: a * 1.01, p)])
+    mesh = make_mesh("seq", n_devices=2)
+
+    f32 = batched_infer(stacked, frames, TINY, mesh=mesh)
+
+    icfg = dataclasses.replace(TINY, compute_mode="int8")
+    scales = calibrate_int8_scales_batched(stacked, frames[:, 0], icfg)
+    assert scales.shape[0] == 2 and bool(jnp.all(scales > 0))
+    i8 = batched_infer(stacked, frames, icfg, mesh=mesh, act_scales=scales)
+
+    agree = np.mean((np.asarray(f32) >= 128) == (np.asarray(i8) >= 128))
+    assert agree >= 0.99, agree
+
+
 def test_parent_trainer_data_parallel_matches_single(tiny_params, rng):
     imgs, masks = _pairs(rng, 4)
     cfg = ParentConfig(n_epochs=2, batch_size=4, n_ave_grad=1, lr=1e-5)
@@ -169,6 +201,47 @@ def test_parent_trainer_data_parallel_matches_single(tiny_params, rng):
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-7)
+
+
+@pytest.mark.slow
+def test_parent_trainer_data_parallel_flat_matches_single(tiny_params, rng):
+    """compute_mode='flat' under the DP trainer: the GSPMD partitioner
+    cannot split the flat pallas_calls along the batch (it is folded into
+    the flat row dim), so ParentTrainer routes flat+mesh through an
+    explicit shard_map (each device runs the flat trunk on its local
+    shard, grads pmean'd). Must equal the single-device flat step."""
+    import dataclasses
+
+    flat_cfg = dataclasses.replace(TINY, compute_mode="flat")
+    imgs, masks = _pairs(rng, 4)
+    cfg = ParentConfig(n_epochs=1, batch_size=4, n_ave_grad=1, lr=1e-5)
+
+    t_single = ParentTrainer(tiny_params, flat_cfg, cfg, mesh=None)
+    m1 = t_single.train_step(np.asarray(imgs), np.asarray(masks), 0.5)
+
+    mesh = make_mesh("data", n_devices=2)
+    t_dp = ParentTrainer(tiny_params, flat_cfg, cfg, mesh=mesh)
+    m2 = t_dp.train_step(np.asarray(imgs), np.asarray(masks), 0.5)
+
+    np.testing.assert_allclose(float(m1["total"]), float(m2["total"]),
+                               rtol=1e-4)
+    # atol 5e-7: pmean-of-local-means reassociates the f32 batch reduction,
+    # so near-zero leaves (fresh score_dsn biases ~1e-7 after one lr=1e-5
+    # step) carry round-off-level absolute noise.
+    for a, b in zip(jax.tree_util.tree_leaves(t_single.params),
+                    jax.tree_util.tree_leaves(t_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=5e-7)
+
+
+def test_parent_trainer_flat_dp_rejects_uneven_batch(tiny_params):
+    import dataclasses
+
+    flat_cfg = dataclasses.replace(TINY, compute_mode="flat")
+    cfg = ParentConfig(batch_size=3, n_ave_grad=1, lr=1e-5)
+    mesh = make_mesh("data", n_devices=2)
+    with pytest.raises(ValueError, match="divisible"):
+        ParentTrainer(tiny_params, flat_cfg, cfg, mesh=mesh)
 
 
 def test_frame_parallel_infer_matches_single_device(tiny_params, rng):

@@ -48,6 +48,7 @@ def _run_main(monkeypatch, module_name, argv):
     mod.main()
 
 
+@pytest.mark.slow
 def test_train_parent_main(davis_tree, tmp_path, monkeypatch):
     save_root = str(tmp_path / "runs")
     _run_main(monkeypatch, "train_parent", [
@@ -62,6 +63,7 @@ def test_train_parent_main(davis_tree, tmp_path, monkeypatch):
     assert {"total_loss_epoch", "val_loss_epoch"} <= tags
 
 
+@pytest.mark.slow
 def test_train_online_main_int8_vis_eval(davis_tree, tiny_parent_ckpt,
                                          tmp_path, monkeypatch, capsys):
     """The full reference workflow + round-2 additions: fine-tune one
@@ -89,6 +91,7 @@ def test_train_online_main_int8_vis_eval(davis_tree, tiny_parent_ckpt,
     assert all(np.isfinite(r["value"]) for r in recs)
 
 
+@pytest.mark.slow
 def test_train_online_main_all_val_batched(davis_tree, tiny_parent_ckpt,
                                            tmp_path, monkeypatch, capsys):
     save_root = str(tmp_path / "runs")

@@ -162,7 +162,7 @@ def test_deep_supervision_annealing_weights_losses(tiny_params, rng):
     from osvos_tpu.train.parent import make_parent_train_step
 
     cfg = ParentConfig(lr=1e-5)
-    loss_fn, _ = make_parent_train_step(TINY, cfg)
+    loss_fn, _, _ = make_parent_train_step(TINY, cfg)
     img, mask = _synthetic_pair(rng)
     total_full, per = loss_fn(tiny_params, jnp.asarray(img[None]),
                               jnp.asarray(mask[None]), jnp.float32(1.0))

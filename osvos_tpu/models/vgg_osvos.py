@@ -253,7 +253,7 @@ class OSVOS(nn.Module):
                 FlatGeom, _half_pad, flat_conv3x3, flat_conv3x3_input,
                 flat_conv3x3_input_packed, flat_conv3x3_packed, from_flat,
                 pack_image, packed_geom, pool_flat, pool_out_geom,
-                pool_packed, stage_t, to_flat)
+                stage_t, to_flat)
 
             interp = jax.default_backend() != "tpu"
             n, hh, ww = x.shape[0], x.shape[1], x.shape[2]
@@ -292,11 +292,12 @@ class OSVOS(nn.Module):
         fused_contribs: List[jnp.ndarray] = []
         for i, widths in enumerate(cfg.stages[1:], start=1):
             if flat:
-                from osvos_tpu.ops.pallas.flatpool import pool_flat_p
+                from osvos_tpu.ops.pallas.flatpool import (pool_flat_p,
+                                                           pool_packed_p)
 
                 g2 = pool_out_geom(g, stage_t(-(-g.h // 2)))
                 if i == 1 and packed:
-                    zf = pool_packed(zf, gp, g2)
+                    zf = pool_packed_p(zf, gp, g2, interp)
                 else:
                     zf = pool_flat_p(zf, g, g2, interp)
                 g = g2

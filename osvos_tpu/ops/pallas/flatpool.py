@@ -289,6 +289,263 @@ def pool_flat_bwd_pallas(zin, zout, gout, g_in: FlatGeom, g_out: FlatGeom,
     )(zout, gout, zin)
 
 
+# ---------------------------------------------------------------------------
+# packed-buffer pool: PACKED stage-1 buffer -> natural stage-2 buffer
+# ---------------------------------------------------------------------------
+#
+# The XLA pool_packed (flatconv.py) at stage-1 resolution was the single
+# biggest glue cost of the online step (perfetto, round 3): ~4.3 ms fwd
+# (strided-view slices/maxes/reduces/embed-pads over the 270 MB packed
+# buffer) + ~5.7 ms bwd (tie-routing select chains + layout copy + the
+# lead/tail re-pad). These kernels do each direction in one pass.
+#
+# Geometry: the horizontal 2x2 pair IS the packed row's lane halves
+# (pixel 2u' in lanes [0, half), 2u'+1 in [half, 2*half)), and the packed
+# column u' sits at in padded col u'+2 == out padded col u'+2 — the SAME
+# sublane index. So pooling is a lane-half max (one u32-view lane roll —
+# lane rolls move whole 32-bit words, so the bf16 sublane pair packing is
+# untouched) plus an aligned row-pair max; no horizontal repacking at all.
+
+
+def _lane_shift(v, s: int):
+    """bf16 (rows, 128): cyclic lane shift by ``s`` (result[l] = v[l-s]).
+    Lane rotates move whole 32-bit words, so the bf16 sublane-pair packing
+    is untouched; the u32 view keeps Mosaic on the 32-bit rotate path."""
+    u = pltpu.bitcast(v, jnp.uint32)
+    return pltpu.bitcast(pltpu.roll(u, s % v.shape[-1], axis=1),
+                         jnp.bfloat16)
+
+
+def _pp_fwd_kernel(gp: FlatGeom, g_out: FlatGeom, half: int):
+    wp1, wp2 = gp.wp, g_out.wp
+    t2 = g_out.t
+    k_rows = g_out.block_rows
+    jt2, last = g_out.jt, g_out.total_tiles - 1
+    h1, w1 = gp.h, 2 * gp.w  # w1 = original image width (pairs * 2)
+    h2, w2, co = g_out.h, g_out.w, g_out.c
+    xs_rows = (2 * t2 + 2) * wp1
+    in_rows_total = gp.rows
+    w_odd = (w1 % 2) == 1
+
+    def kernel(zin_hbm, out_ref, xs, obuf, sem):
+        tt = pl.program_id(0)
+        edge = (tt == 0) | (tt == last)
+
+        @pl.when(edge)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when(jnp.logical_not(edge))
+        def _():
+            j = (tt - 1) % jt2
+            n = (tt - 1) // jt2
+            off_u = (gp.t + n * gp.hp + 2 * (j * t2) - 2) * wp1
+            off = jnp.minimum(off_u, in_rows_total - xs_rows)
+            off = pl.multiple_of(off, 16)
+            dd = (off_u - off) // wp1
+            dma = pltpu.make_async_copy(
+                zin_hbm.at[pl.ds(off, xs_rows)], xs, sem)
+            dma.start()
+            dma.wait()
+
+            row_cap = xs_rows // wp1 - 1
+            for r in range(t2):
+                ra = pl.multiple_of(
+                    jnp.minimum(2 * r + dd, row_cap) * wp1, 16)
+                rb = pl.multiple_of(
+                    jnp.minimum(2 * r + 1 + dd, row_cap) * wp1, 16)
+                va = xs[pl.ds(ra, wp1), :]
+                vb = xs[pl.ds(rb, wp1), :]
+                hpix2 = 2 * (j * t2 + r - 2) + 1
+                v = jnp.where(hpix2 < h1, jnp.maximum(va, vb), va)
+                # lane l < half gets its hi partner v[l+half]; what rolls
+                # INTO hi lanes is garbage, masked by (lane < co) below
+                m = jnp.maximum(v, _lane_shift(v, -half))
+                if w_odd:
+                    # last pair's hi half is the zero w-pad: ceil-mode
+                    # must ignore it (zero would beat negative z)
+                    ss = jax.lax.broadcasted_iota(jnp.int32, (wp1, 1), 0)
+                    m = jnp.where(ss == w2 + 1, v, m)
+                obuf[pl.ds(r * wp2, wp2), :] = m[0:wp2, :]
+
+            it = jax.lax.broadcasted_iota(jnp.int32, (k_rows, 1), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (k_rows, 128), 1)
+            p = j * t2 + it // wp2
+            u = it % wp2
+            valid = ((p >= 2) & (p <= h2 + 1) & (u >= 2) & (u <= w2 + 1)
+                     & (lane < co))
+            out_ref[...] = jnp.where(valid, obuf[...], jnp.bfloat16(0))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("gp", "g_out", "interpret"))
+def pool_packed_fwd_pallas(zfp, gp: FlatGeom, g_out: FlatGeom,
+                           interpret: bool = False):
+    half = gp.c // 2
+    assert g_out.c <= half and g_out.wp <= gp.wp, (gp, g_out)
+    # the in-kernel lane iotas/rolls assume single-lane-tile buffers
+    assert gp.c_pad == 128 and g_out.c_pad == 128, (gp, g_out)
+    xs_rows = (2 * g_out.t + 2) * gp.wp
+    return pl.pallas_call(
+        _pp_fwd_kernel(gp, g_out, half),
+        out_shape=jax.ShapeDtypeStruct((g_out.rows, g_out.c_pad),
+                                       jnp.bfloat16),
+        grid=(g_out.total_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((g_out.block_rows, g_out.c_pad),
+                               lambda tt: (tt, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((xs_rows, gp.c_pad), jnp.bfloat16),
+            pltpu.VMEM((g_out.block_rows, g_out.c_pad), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(zfp)
+
+
+def _pp_bwd_kernel(gp: FlatGeom, g_out: FlatGeom, half: int):
+    wp1, wp2 = gp.wp, g_out.wp
+    t1 = gp.t
+    jt1, last = gp.jt, gp.total_tiles - 1
+    h1, w1 = gp.h, 2 * gp.w
+    co = g_out.c
+    w2_rows = (t1 // 2 + 2) * wp2
+    w_odd = (w1 % 2) == 1
+    # in padded col s holds pair u' = s - 2; valid pairs 0..ceil(w1/2)-1
+    last_col = g_out.w + 1
+
+    def kernel(zout_hbm, gout_hbm, zin_ref, out_ref, zs, gs, sem):
+        tt = pl.program_id(0)
+        edge = (tt == 0) | (tt == last)
+
+        @pl.when(edge)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when(jnp.logical_not(edge))
+        def _():
+            j = (tt - 1) % jt1
+            n = (tt - 1) // jt1
+            off = pl.multiple_of(
+                (g_out.t + n * g_out.hp + (j * t1) // 2) * wp2, 16)
+            d1 = pltpu.make_async_copy(
+                zout_hbm.at[pl.ds(off, w2_rows)], zs, sem.at[0])
+            d2 = pltpu.make_async_copy(
+                gout_hbm.at[pl.ds(off, w2_rows)], gs, sem.at[1])
+            d1.start()
+            d2.start()
+            d1.wait()
+            d2.wait()
+
+            ss = jax.lax.broadcasted_iota(jnp.int32, (wp2, 1), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (wp2, 128), 1)
+            is_hi = (lane >= half) & (lane < 2 * half)
+            ch_ok = ((lane % half) < co) if half > co else (lane < 2 * half)
+            col_ok = ((ss >= 2) & (ss <= last_col) & ch_ok
+                      & (lane < 2 * half))
+            if w_odd:
+                col_ok = col_ok & ~(is_hi & (ss == last_col))
+            is_hif = is_hi.astype(jnp.float32)
+
+            m_top = None
+            for r in range(t1):
+                lo_r = (r - 2) // 2 + 2
+                zo = zs[pl.ds(lo_r * wp2, wp2), :]
+                go = gs[pl.ds(lo_r * wp2, wp2), :]
+                # broadcast the out value/cotangent to both lane halves:
+                # ADD of the +half lane shift — the out buffer is zero
+                # outside lanes [0, co), so lo lanes keep their value
+                # (x + 0) and hi lanes receive their lo partner (0 + x);
+                # max would corrupt negative z values against the zeros
+                e_z = zo + _lane_shift(zo, half)
+                e_g = go + _lane_shift(go, half)
+                zin_row = zin_ref[pl.ds(r * wp1, wp2), :]
+                # masked match bits: phantom matches on dead/pad lanes
+                # (0 == 0) must not propagate through the lane rolls
+                m_eq = jnp.where(
+                    col_ok & (zin_row.astype(jnp.float32)
+                              == e_z.astype(jnp.float32)),
+                    jnp.float32(1), jnp.float32(0))
+                # hi lanes defer to their lo partner's match
+                partner = pltpu.roll(m_eq, half, axis=1)
+                if r % 2 == 0:
+                    route = m_eq * (1.0 - is_hif * partner)
+                    m_top = m_eq
+                else:
+                    # any match in the top row blocks the whole bottom row
+                    any_top = jnp.maximum(
+                        m_top,
+                        jnp.maximum(
+                            pltpu.roll(m_top, half, axis=1),
+                            pltpu.roll(m_top, (-half) % 128, axis=1)))
+                    route = (m_eq * (1.0 - any_top)
+                             * (1.0 - is_hif * partner))
+                q = j * t1 + r
+                row_ok = ((q >= 2) & (q <= h1 + 1)).astype(jnp.float32)
+                row = e_g.astype(jnp.float32) * route * row_ok
+                out_ref[pl.ds(r * wp1, wp2), :] = row.astype(out_ref.dtype)
+                if wp1 > wp2:
+                    out_ref[pl.ds(r * wp1 + wp2, wp1 - wp2), :] = jnp.zeros(
+                        (wp1 - wp2, out_ref.shape[-1]), out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("gp", "g_out", "interpret"))
+def pool_packed_bwd_pallas(zin, zout, gout, gp: FlatGeom, g_out: FlatGeom,
+                           interpret: bool = False):
+    w2_rows = (gp.t // 2 + 2) * g_out.wp
+    return pl.pallas_call(
+        _pp_bwd_kernel(gp, g_out, gp.c // 2),
+        out_shape=jax.ShapeDtypeStruct((gp.rows, gp.c_pad), jnp.bfloat16),
+        grid=(gp.total_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # zout
+            pl.BlockSpec(memory_space=pl.ANY),  # gout
+            pl.BlockSpec((gp.block_rows, gp.c_pad), lambda tt: (tt, 0),
+                         memory_space=pltpu.VMEM),  # zin
+        ],
+        out_specs=pl.BlockSpec((gp.block_rows, gp.c_pad),
+                               lambda tt: (tt, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((w2_rows, g_out.c_pad), jnp.bfloat16),
+            pltpu.VMEM((w2_rows, g_out.c_pad), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(zout, gout, zin)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def pool_packed_p(zfp, gp: FlatGeom, g_out: FlatGeom,
+                  interpret: bool = False):
+    """Pallas ceil-mode 2x2/2 max pool, PACKED buffer -> natural buffer.
+
+    Drop-in for flatconv.pool_packed (the XLA twin it is tested against):
+    identical values and the reference's row-major-first argmax tie
+    routing (top-lo, top-hi, bot-lo, bot-hi; MaxPool2d ceil_mode=True,
+    networks/vgg_osvos.py:~120)."""
+    return pool_packed_fwd_pallas(zfp, gp, g_out, interpret)
+
+
+def _ppp_fwd(zfp, gp, g_out, interpret):
+    out = pool_packed_fwd_pallas(zfp, gp, g_out, interpret)
+    return out, (zfp, out)
+
+
+def _ppp_bwd(gp, g_out, interpret, res, gf_out):
+    zfp, zout = res
+    dz = pool_packed_bwd_pallas(zfp, zout, gf_out.astype(jnp.bfloat16),
+                                gp, g_out, interpret)
+    return (dz,)
+
+
+pool_packed_p.defvjp(_ppp_fwd, _ppp_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def pool_flat_p(zf, g_in: FlatGeom, g_out: FlatGeom,
                 interpret: bool = False):

@@ -36,16 +36,21 @@ def summarize(log_dir: str, steps: int) -> None:
                 if e.get("ph") == "M" and e.get("name") == "process_name"
                 and "TPU" in str(e.get("args", {}).get("name", ""))}
     cat = collections.Counter()
+    raw = collections.Counter()
     for e in events:
         if e.get("ph") == "X" and e.get("pid") in tpu_pids:
             n = e["name"]
             if n.startswith("jit_") or n.isdigit():
                 continue
             cat[re.sub(r"[.\d]+$", "", n)] += e.get("dur", 0)
+            raw[n] += e.get("dur", 0)
     total = sum(cat.values())
     print(f"\ntrace: {path}")
     print(f"device busy: {total / steps / 1e3:.2f} ms/step")
     for k, v in cat.most_common(20):
+        print(f"{v / steps / 1e3:9.3f} ms/step  {k}")
+    print("\nper-op (unaggregated, top 40):")
+    for k, v in raw.most_common(40):
         print(f"{v / steps / 1e3:9.3f} ms/step  {k}")
 
 

@@ -340,3 +340,48 @@ def test_pool_flat_pallas_matches_xla(rng, gt):
         lambda zz: pool_flat_p(zz, g_in, g_out, True), z))(zf)
     np.testing.assert_array_equal(np.asarray(gp, np.float32),
                                   np.asarray(gw, np.float32))
+
+
+# ---------------------------------------------------------------------------
+# pallas packed pool (stage-1 boundary) vs the XLA pool_packed twin
+# ---------------------------------------------------------------------------
+
+
+PP_GEOMS = [
+    # (n, h, w, c, t_out); even h/w — the packed-path gate
+    (1, 8, 12, 8, 4),
+    (2, 16, 28, 8, 16),   # model-sized tiling, multi-image
+    (1, 12, 24, 4, 4),    # half = 4 (tiny lane halves)
+    (1, 10, 20, 8, 8),    # out grid past the in tail: window clamps
+    (1, 20, 16, 64, 4),   # co == half == 64: the model's stage-1 shape
+]
+
+
+@pytest.mark.parametrize("gt", PP_GEOMS)
+def test_pool_packed_pallas_matches_xla(rng, gt):
+    from osvos_tpu.ops.pallas.flatconv import (pack_image, packed_geom,
+                                               pool_packed, stage_t)
+    from osvos_tpu.ops.pallas.flatpool import pool_packed_p
+    n, h1, w1, c, to = gt
+    g = FlatGeom(n=n, h=h1, w=w1, c=c, t=stage_t(-(-h1 // 2)))
+    gp = packed_geom(g)
+    g_out = FlatGeom(n=n, h=h1 // 2, w=w1 // 2, c=c, t=to)
+    x = jnp.asarray(rng.randn(n, h1, w1, c).astype(np.float32))
+    zfp = pack_image(x, gp)
+    want = np.asarray(pool_packed(zfp, gp, g_out), np.float32)
+    got = np.asarray(pool_packed_p(zfp, gp, g_out, True), np.float32)
+    np.testing.assert_array_equal(got, want)
+
+    # backward: identical routed cotangent, including bf16-rounding ties
+    r = jnp.asarray(rng.randn(n, g_out.h, g_out.w, c).astype(np.float32))
+
+    def loss(fn, z):
+        out = fn(z)
+        return jnp.sum(from_flat(out, g_out).astype(jnp.float32) * r)
+
+    gw = jax.grad(lambda z: loss(
+        lambda zz: pool_packed(zz, gp, g_out), z))(zfp)
+    gpp = jax.grad(lambda z: loss(
+        lambda zz: pool_packed_p(zz, gp, g_out, True), z))(zfp)
+    np.testing.assert_array_equal(np.asarray(gpp, np.float32),
+                                  np.asarray(gw, np.float32))

@@ -152,6 +152,11 @@ def from_flat(zf: jnp.ndarray, g: FlatGeom) -> jnp.ndarray:
 
 _LEAD_ROWS = 16  # DMA'd lead rows so shifted taps never read below 0
 
+# Experiment flag: one f32 accumulator per kh tap row (3 chains) instead of
+# a single chained accumulator — probes whether the RAW chain on `acc`
+# serializes the MXU between dots. Toggled by scripts/bench_ablate A/Bs.
+_SPLIT_ACC = False
+
 
 def _shift_up_1(xs, n_rows: int) -> None:
     """In-place xs[r] <- xs[r+1] on the bf16 pair-packed u32 view.
@@ -190,6 +195,55 @@ def _shift_down_2(xs, n_rows: int) -> None:
                            jnp.uint32)
         xs[pl.ds(2 * a, 2 * (b - a)), :] = pltpu.bitcast(
             wv[7:7 + (b - a)], jnp.bfloat16)
+
+
+def _merge_pairs_to(ym, xs, n_rows: int, half: int) -> None:
+    """ym[r] <- [xs[r-1].hi -> lanes <half | xs[r+1].lo -> lanes half..2half).
+
+    The cross-pair conv taps (packed delta = +-1) are 3/4-zero block
+    matrices; merging both neighbours' live halves into ONE operand row
+    lets a single dense dot replace two sparse ones (9 -> 6 dots per conv
+    pass). Built OUT OF PLACE over the tap region in one pass: xs is only
+    read, so no write-after-read ordering against the dots is needed at
+    all (and xs stays pristine for the db column-sum / epilogue masks).
+    The +-1 row reads ride the u32 sublane-pair packing: row r+1 of an
+    aligned window is ``(w >> 16) | (w_next << 16)``, row r-1 is
+    ``(w_prev >> 16) | (w << 16)``; lanes move with 32-bit rolls (one u32
+    lane = one bf16 lane). Lanes >= 2*half of ym carry roll garbage — the
+    merged weight rows there are zero, so the dots ignore them.
+    """
+    n_sh = n_rows // 2 + 8
+    ch = _round_up(-(-n_sh // 8), 8)
+    for a in range(8, 8 + n_sh, ch):
+        b = min(a + ch, 8 + n_sh)
+        w = pltpu.bitcast(xs[pl.ds(2 * (a - 8), 2 * (b - a) + 18), :],
+                          jnp.uint32)
+        wcur = w[8:8 + (b - a)]
+        up1 = (wcur >> 16) | (w[9:9 + (b - a)] << 16)     # row r+1
+        dn1 = (w[7:7 + (b - a)] >> 16) | (wcur << 16)     # row r-1
+        prev_hi = pltpu.roll(dn1, (128 - half) % 128, axis=1)
+        next_lo = pltpu.roll(up1, half, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, prev_hi.shape, 1)
+        ym[pl.ds(2 * a, 2 * (b - a)), :] = pltpu.bitcast(
+            jnp.where(lane < half, prev_hi, next_lo), jnp.bfloat16)
+
+
+def merge_packed_taps(k9: jnp.ndarray, a: int, b: int) -> jnp.ndarray:
+    """(9, in_pad, out_pad) pair-packed taps -> (6, in_pad, out_pad):
+    [0..2] the dense delta=0 taps, [3..5] the merged cross-pair taps
+    matching ``_merge_pairs_to``'s operand layout — M[0:a, 0:b] applies
+    the delta=-1 corner (in-hi -> out-lo) to the merged row's prev-hi
+    lanes, M[a:2a, b:2b] the delta=+1 corner (in-lo -> out-hi) to its
+    next-lo lanes. Works for forward packed weights and their dgrad flip
+    alike (the flip preserves the corner convention)."""
+    dense = [k9[3 * kh + 1] for kh in range(3)]
+    merged = []
+    for kh in range(3):
+        m = jnp.zeros_like(k9[0])
+        m = m.at[0:a, 0:b].set(k9[3 * kh + 0][a:2 * a, 0:b])
+        m = m.at[a:2 * a, b:2 * b].set(k9[3 * kh + 2][0:a, b:2 * b])
+        merged.append(m)
+    return jnp.stack(dense + merged)
 
 
 def _ordered_after(anchor, fn):
@@ -279,13 +333,13 @@ def _pick_out_blk(t: int, wp: int, c_contract: int, out_pad: int,
 
 
 def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
-                relu_input: bool):
+                relu_input: bool, merged: int = 0):
     wp, t = g_in.wp, g_in.t
     k_rows = g_in.block_rows
     xs_rows = _LEAD_ROWS + (t + 2) * wp + 32
     jt, last = g_in.jt, g_in.total_tiles - 1
 
-    def kernel(xf_hbm, kref, bref, out_ref, xs0, xs1, acc, sem):
+    def kernel(xf_hbm, kref, bref, out_ref, xs0, xs1, acc, sem, *opt_ym):
         tt = pl.program_id(1)
         edge = (tt == 0) | (tt == last)
 
@@ -297,23 +351,38 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
             if relu_input:
                 xs[...] = jnp.maximum(xs[...], jnp.bfloat16(0))
 
-            def taps(kw, first):
+            def taps(src, kw, first, stride=3):
                 for kh in range(3):
                     d = jax.lax.dot_general(
-                        xs[pl.ds(_LEAD_ROWS + kh * wp, k_rows), :],
-                        kref[kh * 3 + kw],
+                        src[pl.ds(_LEAD_ROWS + kh * wp, k_rows), :],
+                        kref[kh * stride + kw],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                    if first and kh == 0:
+                    if _SPLIT_ACC:
+                        if first:
+                            acc[kh] = d
+                        else:
+                            acc[kh] += d
+                    elif first and kh == 0:
                         acc[...] = d
                     else:
                         acc[...] += d
 
-            taps(1, True)
-            _ordered_after(acc[0, 0], lambda: _shift_up_1(xs, (t + 2) * wp))
-            taps(2, False)
-            _ordered_after(acc[0, 1], lambda: _shift_down_2(xs, (t + 2) * wp))
-            taps(0, False)
+            if merged:
+                ym = opt_ym[0]
+                _merge_pairs_to(ym, xs, (t + 2) * wp, merged)
+                taps(xs, 0, True, stride=1)   # dense taps (kref 0..2)
+                taps(ym, 3, False, stride=1)  # merged taps (kref 3..5)
+            else:
+                taps(xs, 1, True)
+                anchor = (acc[0, 0, 0] if _SPLIT_ACC else acc[0, 0])
+                _ordered_after(anchor,
+                               lambda: _shift_up_1(xs, (t + 2) * wp))
+                taps(xs, 2, False)
+                anchor = (acc[0, 0, 1] if _SPLIT_ACC else acc[0, 1])
+                _ordered_after(anchor,
+                               lambda: _shift_down_2(xs, (t + 2) * wp))
+                taps(xs, 0, False)
 
             # epilogue: bias + validity mask (pad rows/cols stay zero)
             j = (tt - 1) % jt
@@ -322,7 +391,10 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
             w_p = it % wp
             valid = ((h_p >= 2) & (h_p <= h_out_valid + 1)
                      & (w_p >= 2) & (w_p <= w_out_valid + 1))
-            out = acc[...] + bref[0][None, :]
+            if _SPLIT_ACC:
+                out = acc[0] + acc[1] + acc[2] + bref[0][None, :]
+            else:
+                out = acc[...] + bref[0][None, :]
             out_ref[...] = jnp.where(valid, out, 0.0).astype(out_ref.dtype)
 
         _with_prefetched_xs(xf_hbm, xs0, xs1, sem, tt, t, wp, xs_rows, last,
@@ -333,8 +405,13 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
 
 def _flat_conv_fwd_impl(zf: jnp.ndarray, kernel: jnp.ndarray,
                         bias: jnp.ndarray, g_in: FlatGeom, d: int,
-                        relu_input: bool, interpret: bool) -> jnp.ndarray:
-    """zf: (rows, c_pad) bf16; kernel: (3, 3, C, D); bias: (D,)."""
+                        relu_input: bool, interpret: bool,
+                        merged: int = 0) -> jnp.ndarray:
+    """zf: (rows, c_pad) bf16; kernel: (3, 3, C, D); bias: (D,).
+
+    ``merged``: in-half lane count for pair-packed inputs — kernel must
+    then already be the packed (3, 3, 2*hi, 2*ho) layout; the cross-pair
+    taps run merged (6 dots instead of 9, see merge_packed_taps)."""
     c, c_pad = g_in.c, g_in.c_pad
     d_pad = _lane_pad(d)
     d_blk = _pick_out_blk(g_in.t, g_in.wp, c_pad, d_pad, 0)
@@ -342,17 +419,31 @@ def _flat_conv_fwd_impl(zf: jnp.ndarray, kernel: jnp.ndarray,
     kp = jnp.pad(kernel.astype(jnp.bfloat16),
                  ((0, 0), (0, 0), (0, c_pad - c), (0, d_pad - d)))
     kp = kp.reshape(9, c_pad, d_pad)
+    n_taps = 9
+    if merged:
+        kp = merge_packed_taps(kp, merged, d // 2)
+        n_taps = 6
     bp = jnp.pad(bias.astype(jnp.float32), (0, d_pad - d))[None, :]
 
     g_out = dataclasses.replace(g_in, c=d)
     xs_rows = _LEAD_ROWS + (g_in.t + 2) * g_in.wp + 32
+    acc_shape = ((3, g_in.block_rows, d_blk) if _SPLIT_ACC
+                 else (g_in.block_rows, d_blk))
+    scratch = [
+        pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16),
+        pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16),
+        pltpu.VMEM(acc_shape, jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if merged:
+        scratch.append(pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16))
     out = pl.pallas_call(
-        _fwd_kernel(g_in, g_in.h, g_in.w, relu_input),
+        _fwd_kernel(g_in, g_in.h, g_in.w, relu_input, merged),
         out_shape=jax.ShapeDtypeStruct((g_out.rows, d_pad), jnp.bfloat16),
         grid=(d_tiles, g_in.total_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # zf stays in HBM
-            pl.BlockSpec((9, c_pad, d_blk), lambda di, tt: (0, 0, di),
+            pl.BlockSpec((n_taps, c_pad, d_blk), lambda di, tt: (0, 0, di),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d_blk), lambda di, tt: (0, di),
                          memory_space=pltpu.VMEM),
@@ -360,12 +451,9 @@ def _flat_conv_fwd_impl(zf: jnp.ndarray, kernel: jnp.ndarray,
         out_specs=pl.BlockSpec((g_in.block_rows, d_blk),
                                lambda di, tt: (tt, di),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16),
-            pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16),
-            pltpu.VMEM((g_in.block_rows, d_blk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(zf, kp, bp)
     return out
@@ -467,13 +555,13 @@ def _flat_conv_dgrad_impl(gf: jnp.ndarray, kernel: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _wgrad_kernel(g_in: FlatGeom, relu_input: bool):
+def _wgrad_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0):
     wp, t = g_in.wp, g_in.t
     k_rows = g_in.block_rows
     xs_rows = _LEAD_ROWS + (t + 2) * wp + 32
     last = g_in.total_tiles - 1
 
-    def kernel(xf_hbm, g_ref, out_ref, db_ref, xs0, xs1, sem):
+    def kernel(xf_hbm, g_ref, out_ref, db_ref, xs0, xs1, sem, *opt_ym):
         tt = pl.program_id(1)
         edge = (tt == 0) | (tt == last)
 
@@ -486,21 +574,27 @@ def _wgrad_kernel(g_in: FlatGeom, relu_input: bool):
             if relu_input:
                 xs[...] = jnp.maximum(xs[...], jnp.bfloat16(0))
 
-            def taps(kw):
+            def taps(src, kw, stride=3):
                 for kh in range(3):
-                    out_ref[kh * 3 + kw] += jax.lax.dot_general(
-                        xs[pl.ds(_LEAD_ROWS + kh * wp, k_rows), :],
+                    out_ref[kh * stride + kw] += jax.lax.dot_general(
+                        src[pl.ds(_LEAD_ROWS + kh * wp, k_rows), :],
                         g_ref[...],
                         (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
 
-            taps(1)
-            _ordered_after(out_ref[7, 0, 0],
-                           lambda: _shift_up_1(xs, (t + 2) * wp))
-            taps(2)
-            _ordered_after(out_ref[8, 0, 0],
-                           lambda: _shift_down_2(xs, (t + 2) * wp))
-            taps(0)
+            if merged:
+                ym = opt_ym[0]
+                _merge_pairs_to(ym, xs, (t + 2) * wp, merged)
+                taps(xs, 0, stride=1)  # dense delta=0 taps (out 0..2)
+                taps(ym, 3, stride=1)  # merged cross-pair taps (out 3..5)
+            else:
+                taps(xs, 1)
+                _ordered_after(out_ref[7, 0, 0],
+                               lambda: _shift_up_1(xs, (t + 2) * wp))
+                taps(xs, 2)
+                _ordered_after(out_ref[8, 0, 0],
+                               lambda: _shift_down_2(xs, (t + 2) * wp))
+                taps(xs, 0)
 
             db_ref[0:1, :] += jnp.sum(g_ref[...].astype(jnp.float32),
                                       axis=0, keepdims=True)
@@ -512,30 +606,41 @@ def _wgrad_kernel(g_in: FlatGeom, relu_input: bool):
 
 
 def _flat_conv_wgrad_impl(zf: jnp.ndarray, gf: jnp.ndarray, g_in: FlatGeom,
-                          d: int, relu_input: bool, interpret: bool
+                          d: int, relu_input: bool, interpret: bool,
+                          merged: int = 0
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (dk (3,3,C,D) f32, db (D,) f32)."""
+    """Returns (dk (3,3,C,D) f32, db (D,) f32). With ``merged`` (packed
+    pair layout), dk is the RAW (6, c_pad, d_pad) tap accumulator —
+    decode with ``unpack_dk_merged_rows``."""
     c, c_pad = g_in.c, g_in.c_pad
     d_pad = _lane_pad(d)
+    n_taps = 6 if merged else 9
     xs_rows = _LEAD_ROWS + (g_in.t + 2) * g_in.wp + 32
-    # budget: 2x xs halo scratch + double-buffered (9, c_pad, d_blk) f32
+    # budget: 2x xs halo scratch + double-buffered (taps, c_pad, d_blk) f32
     # result block + double-buffered g blocks <= ~13 MB
-    fixed = 2 * xs_rows * c_pad * 2
+    fixed = (2 + bool(merged)) * xs_rows * c_pad * 2
     d_blk = min(d_pad, 128)
     for blk in (512, 256, 128):
         if blk > d_pad or d_pad % blk:
             continue
-        tot = (fixed + 2 * 9 * c_pad * blk * 4
+        tot = (fixed + 2 * n_taps * c_pad * blk * 4
                + 2 * g_in.block_rows * blk * 2)
         if tot <= 13 * 2 ** 20:
             d_blk = blk
             break
     d_tiles = d_pad // d_blk
 
+    scratch = [
+        pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16),
+        pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if merged:
+        scratch.append(pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16))
     dk, db = pl.pallas_call(
-        _wgrad_kernel(g_in, relu_input),
+        _wgrad_kernel(g_in, relu_input, merged),
         out_shape=(
-            jax.ShapeDtypeStruct((9, c_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_taps, c_pad, d_pad), jnp.float32),
             jax.ShapeDtypeStruct((8, d_pad), jnp.float32),
         ),
         grid=(d_tiles, g_in.total_tiles),
@@ -545,20 +650,181 @@ def _flat_conv_wgrad_impl(zf: jnp.ndarray, gf: jnp.ndarray, g_in: FlatGeom,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((9, c_pad, d_blk), lambda di, tt: (0, 0, di),
+            pl.BlockSpec((n_taps, c_pad, d_blk), lambda di, tt: (0, 0, di),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, d_blk), lambda di, tt: (0, di),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16),
-            pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(zf, gf)
+    if merged:
+        return dk, db[0, :d]
     dk = dk.reshape(3, 3, c_pad, d_pad)[:, :, :c, :d]
     return dk, db[0, :d]
+
+
+# ---------------------------------------------------------------------------
+# fused backward kernel: dz + dK + db in ONE pass over gf/zf
+# ---------------------------------------------------------------------------
+#
+# dgrad and wgrad both sweep the full activation-sized buffers: dgrad DMAs
+# gf (shifting it through the three kw phases) and streams zf for the ReLU
+# mask; wgrad DMAs zf (shifting it) and streams gf. Run separately that is
+# two reads of gf, two reads of zf and two full sets of VPU shift passes.
+# The identity dK[kh,kw] = sum_s z[s] * g[s - (kh-1)wp - (kw-1)] lets the
+# wgrad taps consume the SAME shifted gf the dgrad taps read: at dgrad
+# phase (kh', kw') the xs slice holds g[r + (kh'-1)wp + (kw'-1)], which is
+# exactly the wgrad operand for tap (2-kh', 2-kw'). One kernel therefore
+# reads gf once, reads zf once (as the pipelined block: wgrad lhs + ReLU
+# mask + dz epilogue mask), shifts once, and emits all three cotangents.
+
+
+def _bwd_fused_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0):
+    wp, t = g_in.wp, g_in.t
+    k_rows = g_in.block_rows
+    xs_rows = _LEAD_ROWS + (t + 2) * wp + 32
+    last = g_in.total_tiles - 1
+
+    def kernel(gf_hbm, kref, zref, dz_ref, dk_ref, db_ref, xs0, xs1, acc,
+               sem, *opt_ym):
+        tt = pl.program_id(0)
+        edge = (tt == 0) | (tt == last)
+
+        @pl.when(tt == 0)
+        def _():
+            dk_ref[...] = jnp.zeros_like(dk_ref)
+            db_ref[...] = jnp.zeros_like(db_ref)
+
+        @pl.when(edge)
+        def _():
+            dz_ref[...] = jnp.zeros_like(dz_ref)
+
+        def body(xs):
+            if relu_input:
+                zref[...] = jnp.maximum(zref[...], jnp.bfloat16(0))
+
+            def phase(src, kidx, widx, first, stride=3):
+                for kh in range(3):
+                    d = jax.lax.dot_general(
+                        src[pl.ds(_LEAD_ROWS + kh * wp, k_rows), :],
+                        kref[kh * stride + kidx],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    if first and kh == 0:
+                        acc[...] = d
+                    else:
+                        acc[...] += d
+                for kh in range(3):
+                    dk_ref[(2 - kh) * stride + widx] += jax.lax.dot_general(
+                        zref[...],
+                        src[pl.ds(_LEAD_ROWS + kh * wp, k_rows), :],
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+
+            if merged:
+                ym = opt_ym[0]
+                _merge_pairs_to(ym, xs, (t + 2) * wp, merged)
+                phase(xs, 0, 0, True, stride=1)   # dense taps
+                phase(ym, 3, 3, False, stride=1)  # merged cross-pair taps
+                db_ref[0:1, :] += jnp.sum(
+                    xs[pl.ds(_LEAD_ROWS + wp, k_rows), :].astype(
+                        jnp.float32), axis=0, keepdims=True)
+            else:
+                phase(xs, 1, 1, True)
+                db_ref[0:1, :] += jnp.sum(
+                    xs[pl.ds(_LEAD_ROWS + wp, k_rows), :].astype(
+                        jnp.float32), axis=0, keepdims=True)
+                # the shift must wait for every read of xs this phase: the
+                # dgrad acc, the wgrad accumulates AND the db column-sum
+                anchor = acc[0, 0] + dk_ref[4, 0, 0] + db_ref[0, 0]
+                _ordered_after(anchor,
+                               lambda: _shift_up_1(xs, (t + 2) * wp))
+                phase(xs, 2, 0, False)
+                anchor = acc[0, 1] + dk_ref[3, 0, 0]
+                _ordered_after(anchor,
+                               lambda: _shift_down_2(xs, (t + 2) * wp))
+                phase(xs, 0, 2, False)
+
+            # ReLU backward + pad mask (zref holds relu(z); z pads are 0)
+            zmask = zref[...].astype(jnp.float32) > 0.0
+            dz_ref[...] = jnp.where(zmask, acc[...],
+                                    0.0).astype(dz_ref.dtype)
+
+        _with_prefetched_xs(gf_hbm, xs0, xs1, sem, tt, t, wp, xs_rows, last,
+                            body)
+
+    return kernel
+
+
+def _flat_conv_bwd_fused_impl(zf: jnp.ndarray, gf: jnp.ndarray,
+                              kernel: jnp.ndarray, g_in: FlatGeom, d: int,
+                              relu_input: bool, interpret: bool,
+                              merged: int = 0
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                         jnp.ndarray]:
+    """One-pass backward: returns (dz (rows, c_pad) bf16, dk, db (D,) f32).
+    Equal to dgrad+wgrad run separately (tested both against them and
+    against the XLA twin's autodiff, tests/test_flat.py).
+
+    Unmerged, dk is the unpadded (3, 3, C, D) f32. With ``merged`` (packed
+    pair layout; kernel must be the packed (3,3,2hi,2ho) weights), dk is
+    the RAW (6, c_pad, d_pad) tap accumulator — decode with
+    ``unpack_dk_merged_cols``."""
+    c, c_pad = g_in.c, g_in.c_pad
+    d_pad = _lane_pad(d)
+    kflip = kernel.astype(jnp.bfloat16)[::-1, ::-1].transpose(0, 1, 3, 2)
+    kp = jnp.pad(kflip, ((0, 0), (0, 0), (0, d_pad - d), (0, c_pad - c)))
+    kp = kp.reshape(9, d_pad, c_pad)
+    n_taps = 9
+    if merged:
+        kp = merge_packed_taps(kp, d // 2, merged)
+        n_taps = 6
+
+    xs_rows = _LEAD_ROWS + (g_in.t + 2) * g_in.wp + 32
+    scratch = [
+        pltpu.VMEM((xs_rows, d_pad), jnp.bfloat16),
+        pltpu.VMEM((xs_rows, d_pad), jnp.bfloat16),
+        pltpu.VMEM((g_in.block_rows, c_pad), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if merged:
+        scratch.append(pltpu.VMEM((xs_rows, d_pad), jnp.bfloat16))
+    dz, dk, db = pl.pallas_call(
+        _bwd_fused_kernel(g_in, relu_input, merged),
+        out_shape=(
+            jax.ShapeDtypeStruct((g_in.rows, c_pad), jnp.bfloat16),
+            jax.ShapeDtypeStruct((n_taps, c_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((8, d_pad), jnp.float32),
+        ),
+        grid=(g_in.total_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # gf stays in HBM
+            pl.BlockSpec((n_taps, d_pad, c_pad), lambda tt: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_in.block_rows, c_pad), lambda tt: (tt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((g_in.block_rows, c_pad), lambda tt: (tt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_taps, c_pad, d_pad), lambda tt: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d_pad), lambda tt: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(gf, kp, zf)
+    if merged:
+        return dz, dk, db[0, :d]
+    dk = dk.reshape(3, 3, c_pad, d_pad)[:, :, :c, :d]
+    return dz, dk, db[0, :d]
+
+
+_USE_FUSED_BWD = True  # separate dgrad/wgrad kept for A/B + fallback
 
 
 # ---------------------------------------------------------------------------
@@ -606,8 +872,13 @@ def _fc_bwd(g_in, relu_input, interpret, res, gf):
     if gf.dtype != jnp.bfloat16:
         db_f32 = jnp.sum(gf.astype(jnp.float32), axis=0)[:d]
         gf = gf.astype(jnp.bfloat16)
-    dz = _flat_conv_dgrad_impl(gf, kernel, zf, g_in, d, interpret)
-    dk, db = _flat_conv_wgrad_impl(zf, gf, g_in, d, relu_input, interpret)
+    if _USE_FUSED_BWD:
+        dz, dk, db = _flat_conv_bwd_fused_impl(zf, gf, kernel, g_in, d,
+                                               relu_input, interpret)
+    else:
+        dz = _flat_conv_dgrad_impl(gf, kernel, zf, g_in, d, interpret)
+        dk, db = _flat_conv_wgrad_impl(zf, gf, g_in, d, relu_input,
+                                       interpret)
     if db_f32 is not None:
         db = db_f32
     return dz, dk.astype(kernel.dtype), db.astype(jnp.float32)
@@ -829,6 +1100,37 @@ def packed_weights(kernel: jnp.ndarray, bias: jnp.ndarray):
     return kp, bp
 
 
+def unpack_dk_merged_rows(dk6: jnp.ndarray, ci: int, co: int, a: int,
+                          b: int) -> jnp.ndarray:
+    """Decode the merged-tap wgrad accumulator of the SEPARATE wgrad
+    kernel (z was the merged operand; the merged tap's ROWS split
+    [prev-hi | next-lo]) into the logical dK (3,3,ci,co). a/b = in/out
+    half lane counts (_half_pad)."""
+    rows = []
+    for kh in range(3):
+        dense, m = dk6[kh], dk6[3 + kh]
+        dk0 = m[0:ci, 0:co] + dense[0:ci, b:b + co]
+        dk1 = dense[0:ci, 0:co] + dense[a:a + ci, b:b + co]
+        dk2 = dense[a:a + ci, 0:co] + m[a:a + ci, b:b + co]
+        rows.append(jnp.stack([dk0, dk1, dk2]))
+    return jnp.stack(rows)
+
+
+def unpack_dk_merged_cols(dk6: jnp.ndarray, ci: int, co: int, a: int,
+                          b: int) -> jnp.ndarray:
+    """Decode the merged-tap wgrad accumulator of the FUSED backward
+    kernel (gf was the merged operand; the merged tap's COLS split
+    [prev-hi | next-lo]) into the logical dK (3,3,ci,co)."""
+    rows = []
+    for kh in range(3):
+        dense, m = dk6[kh], dk6[3 + kh]
+        dk0 = m[a:a + ci, b:b + co] + dense[0:ci, b:b + co]
+        dk1 = dense[0:ci, 0:co] + dense[a:a + ci, b:b + co]
+        dk2 = dense[a:a + ci, 0:co] + m[0:ci, 0:co]
+        rows.append(jnp.stack([dk0, dk1, dk2]))
+    return jnp.stack(rows)
+
+
 def unpack_dk(dkp: jnp.ndarray, ci: int, co: int) -> jnp.ndarray:
     """dKp (3,3,2*hi,2*ho) -> dK (3,3,ci,co): sum each tap's occurrences."""
     hi, ho = dkp.shape[2] // 2, dkp.shape[3] // 2
@@ -844,6 +1146,9 @@ def unpack_dk(dkp: jnp.ndarray, ci: int, co: int) -> jnp.ndarray:
     return jnp.stack(rows)
 
 
+_USE_MERGED_TAPS = True  # 6-dot cross-pair merge for packed convs (A/B)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def flat_conv3x3_packed(zfp, kernel, bias, gp: FlatGeom,
                         interpret: bool = False):
@@ -852,8 +1157,9 @@ def flat_conv3x3_packed(zfp, kernel, bias, gp: FlatGeom,
     logical params. Output is the packed buffer with c = 2*co."""
     kp, bp = packed_weights(kernel, bias)
     gi = dataclasses.replace(gp, c=kp.shape[2])
+    merged = kp.shape[2] // 2 if _USE_MERGED_TAPS else 0
     return _flat_conv_fwd_impl(zfp, kp, bp, gi, kp.shape[3], True,
-                               interpret)
+                               interpret, merged=merged)
 
 
 def _fcp_fwd(zfp, kernel, bias, gp, interpret):
@@ -867,13 +1173,22 @@ def _fcp_bwd(gp, interpret, res, gf):
     kp, _ = packed_weights(kernel, jnp.zeros((co,), jnp.float32))
     gi = dataclasses.replace(gp, c=kp.shape[2])
     gf = gf.astype(jnp.bfloat16)
-    dz = _flat_conv_dgrad_impl(gf, kp, zfp, gi, kp.shape[3], interpret)
-    dkp, dbp = _flat_conv_wgrad_impl(zfp, gf, gi, kp.shape[3], True,
-                                     interpret)
-    ho = _half_pad(co)
-    dk = unpack_dk(dkp, ci, co).astype(kernel.dtype)
+    hi, ho = _half_pad(ci), _half_pad(co)
+    merged = hi if _USE_MERGED_TAPS else 0
+    if _USE_FUSED_BWD:
+        dz, dkp, dbp = _flat_conv_bwd_fused_impl(zfp, gf, kp, gi,
+                                                 kp.shape[3], True,
+                                                 interpret, merged=merged)
+        dk = (unpack_dk_merged_cols(dkp, ci, co, hi, ho) if merged
+              else unpack_dk(dkp, ci, co))
+    else:
+        dz = _flat_conv_dgrad_impl(gf, kp, zfp, gi, kp.shape[3], interpret)
+        dkp, dbp = _flat_conv_wgrad_impl(zfp, gf, gi, kp.shape[3], True,
+                                         interpret, merged=merged)
+        dk = (unpack_dk_merged_rows(dkp, ci, co, hi, ho) if merged
+              else unpack_dk(dkp, ci, co))
     db = (dbp[:co] + dbp[ho:ho + co]).astype(jnp.float32)
-    return dz, dk, db
+    return dz, dk.astype(kernel.dtype), db
 
 
 flat_conv3x3_packed.defvjp(_fcp_fwd, _fcp_bwd)
@@ -885,8 +1200,9 @@ def flat_conv3x3_input_packed(zfp, kernel, bias, gp: FlatGeom,
     """Packed stem: raw (packed) image in, no input ReLU, no dz."""
     kp, bp = packed_weights(kernel, bias)
     gi = dataclasses.replace(gp, c=kp.shape[2])
+    merged = kp.shape[2] // 2 if _USE_MERGED_TAPS else 0
     return _flat_conv_fwd_impl(zfp, kp, bp, gi, kp.shape[3], False,
-                               interpret)
+                               interpret, merged=merged)
 
 
 def _fcip_fwd(zfp, kernel, bias, gp, interpret):
@@ -897,13 +1213,16 @@ def _fcip_fwd(zfp, kernel, bias, gp, interpret):
 def _fcip_bwd(gp, interpret, res, gf):
     zfp, kernel = res
     ci, co = kernel.shape[2], kernel.shape[3]
-    gi = dataclasses.replace(gp, c=2 * _half_pad(ci))
+    hi, ho = _half_pad(ci), _half_pad(co)
+    gi = dataclasses.replace(gp, c=2 * hi)
     gf = gf.astype(jnp.bfloat16)
-    ho = _half_pad(co)
-    dkp, dbp = _flat_conv_wgrad_impl(zfp, gf, gi, 2 * ho, False, interpret)
-    dk = unpack_dk(dkp, ci, co).astype(kernel.dtype)
+    merged = hi if _USE_MERGED_TAPS else 0
+    dkp, dbp = _flat_conv_wgrad_impl(zfp, gf, gi, 2 * ho, False, interpret,
+                                     merged=merged)
+    dk = (unpack_dk_merged_rows(dkp, ci, co, hi, ho) if merged
+          else unpack_dk(dkp, ci, co))
     db = (dbp[:co] + dbp[ho:ho + co]).astype(jnp.float32)
-    return jnp.zeros_like(zfp), dk, db
+    return jnp.zeros_like(zfp), dk.astype(kernel.dtype), db
 
 
 flat_conv3x3_input_packed.defvjp(_fcip_fwd, _fcip_bwd)

@@ -62,6 +62,16 @@ class ModelConfig:
     # the reference stores them as ConvTranspose2d params trained at lr=0,
     # train_parent.py:~75 — numerically identical since they never change).
     trainable_upsample: bool = False
+    # flat mode: implementation of the four side_prep convs.
+    # 'pallas' (default): flat kernels. They price a conv at row-streams x
+    #   taps x lane TILES, so the 16-channel side outputs pay a full
+    #   128-lane tile for 12.5% utility (~7.5 ms/step fwd+bwd) — which
+    #   invited the 'xla' variant: XLA convs over the NHWC view do only
+    #   the real FLOPs. MEASURED SLOWER anyway (59.9 vs 57.9 ms/step,
+    #   v5e 480p batch 5): XLA's conv backward reintroduces the layout
+    #   churn the flat trunk exists to avoid (+1.75 ms in bwd, fwd a
+    #   wash). Kept as an A/B knob; correctness is tested on CPU.
+    flat_side: str = "pallas"  # 'pallas' | 'xla'
 
 
 @dataclasses.dataclass

@@ -306,13 +306,31 @@ class OSVOS(nn.Module):
                 ks, bs = _ConvParams3x3(in_features=g.c,
                                         features=cfg.side_channels,
                                         name=f"side_prep{i}")()
-                # bias is added in XLA (not the kernel epilogue): its
+                if cfg.flat_side == "xla":
+                    # The flat kernels price a conv at row-streams x taps x
+                    # lane TILES — a 16-channel side output pays a full
+                    # 128-lane tile (x9 taps, x3 passes) for 12.5% utility,
+                    # ~7.5 ms/step across the four sides. XLA does the real
+                    # FLOPs; its NHWC boundary copy is the from_flat the
+                    # head needs anyway, and autodiff routes d(side_in)
+                    # back into the flat cotangent through from_flat's
+                    # transpose (a pad, fused into the dz add).
+                    x_side = jnp.maximum(
+                        from_flat(zf, g), jnp.bfloat16(0))
+                    # bf16 in/out: the MXU accumulates f32 internally, so
+                    # this matches the flat kernel's f32-acc -> bf16 write
+                    side_temp = lax.conv_general_dilated(
+                        x_side, ks.astype(jnp.bfloat16), (1, 1),
+                        ((1, 1), (1, 1)),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                else:
+                    sf = flat_conv3x3(zf, ks, jnp.zeros_like(bs), g, True,
+                                      interp)
+                    side_temp = from_flat(
+                        sf, dataclasses.replace(g, c=cfg.side_channels))
+                # bias is added in XLA (not a kernel epilogue): its
                 # gradient is cancellation-heavy and this keeps the same
                 # excess-precision reduce the 'fast' path gets.
-                sf = flat_conv3x3(zf, ks, jnp.zeros_like(bs), g, True,
-                                  interp)
-                side_temp = from_flat(
-                    sf, dataclasses.replace(g, c=cfg.side_channels))
                 side_temp = side_temp + bs.astype(side_temp.dtype)
             else:
                 x = max_pool_ceil(x)

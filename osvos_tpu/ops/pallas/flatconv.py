@@ -155,7 +155,13 @@ _LEAD_ROWS = 16  # DMA'd lead rows so shifted taps never read below 0
 # Experiment flag: one f32 accumulator per kh tap row (3 chains) instead of
 # a single chained accumulator — probes whether the RAW chain on `acc`
 # serializes the MXU between dots. Toggled by scripts/bench_ablate A/Bs.
+# Measured: ~0.5 ms/step of 57.9 (noise band) — left off.
 _SPLIT_ACC = False
+
+# Timing-only flag (WRONG RESULTS): skip the relu prologue and the
+# validity-mask epilogue in the fwd kernel, leaving dots + shifts + DMA.
+# Sizes the VPU overhead share of kernel time.
+_TIMING_BARE = False
 
 
 def _shift_up_1(xs, n_rows: int) -> None:
@@ -348,7 +354,7 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
             out_ref[...] = jnp.zeros_like(out_ref)
 
         def body(xs):
-            if relu_input:
+            if relu_input and not _TIMING_BARE:
                 xs[...] = jnp.maximum(xs[...], jnp.bfloat16(0))
 
             def taps(src, kw, first, stride=3):
@@ -385,16 +391,19 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
                 taps(xs, 0, False)
 
             # epilogue: bias + validity mask (pad rows/cols stay zero)
+            if _SPLIT_ACC:
+                out = acc[0] + acc[1] + acc[2] + bref[0][None, :]
+            else:
+                out = acc[...] + bref[0][None, :]
+            if _TIMING_BARE:
+                out_ref[...] = out.astype(out_ref.dtype)
+                return
             j = (tt - 1) % jt
             it = jax.lax.broadcasted_iota(jnp.int32, (k_rows, 1), 0)
             h_p = j * t + it // wp
             w_p = it % wp
             valid = ((h_p >= 2) & (h_p <= h_out_valid + 1)
                      & (w_p >= 2) & (w_p <= w_out_valid + 1))
-            if _SPLIT_ACC:
-                out = acc[0] + acc[1] + acc[2] + bref[0][None, :]
-            else:
-                out = acc[...] + bref[0][None, :]
             out_ref[...] = jnp.where(valid, out, 0.0).astype(out_ref.dtype)
 
         _with_prefetched_xs(xf_hbm, xs0, xs1, sem, tt, t, wp, xs_rows, last,

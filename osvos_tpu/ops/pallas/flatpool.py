@@ -216,48 +216,53 @@ def _bwd_kernel(g_in: FlatGeom, g_out: FlatGeom):
             col_valid = ((ca >= 2) & (ca <= w1 + 1)).astype(jnp.float32)
             col_odd = (ca % 2 == 1).astype(jnp.float32)
 
-            m_top_bits_prev = None
-            for r in range(ti):
-                # padded in row q = j*ti + r; out local row
-                # (q-2)//2 + 2 - j*ti/2 = (r-2)//2 + 2 (python floor also
-                # maps the two leading pad/carry rows to local row 1)
-                lo_r = (r - 2) // 2 + 2
+            # expand out cols 2x (true interleave — pltpu.repeat TILES)
+            # and re-pad: e[a] = zo[(a-2)//2]
+            def expand(row):
+                inter = jnp.stack([row, row], axis=1)
+                inter = inter.reshape(2 * wp2, row.shape[-1])
+                return _roll2_bf16(inter[:wp1, :])
+
+            # in rows pair up (2k, 2k+1) onto one out row (j*ti keeps
+            # parity: ti is even), so the expands are shared per pair
+            for k in range(ti // 2):
+                # padded in row q = j*ti + 2k; out local row
+                # (q-2)//2 + 2 - j*ti/2 = k + 1 (also maps the two
+                # leading pad/carry rows to local row 1)
+                lo_r = k + 1
                 zo = zs[pl.ds(lo_r * wp2, wp2), :]
                 go = gs[pl.ds(lo_r * wp2, wp2), :]
-
-                # expand out cols 2x (true interleave — pltpu.repeat TILES)
-                # and re-pad: e[a] = zo[(a-2)//2]
-                def expand(row):
-                    inter = jnp.stack([row, row], axis=1)
-                    inter = inter.reshape(2 * wp2, row.shape[-1])
-                    return _roll2_bf16(inter[:wp1, :])
-
                 e_z = expand(zo)
-                e_g = expand(go)
-                zin_row = zin_ref[pl.ds(r * wp1, wp1), :]
-                m_eq = (zin_row.astype(jnp.float32)
-                        == e_z.astype(jnp.float32)).astype(jnp.float32)
-                m_bits = pltpu.bitcast(m_eq.astype(jnp.bfloat16),
-                                       jnp.uint32)
-                prev_even = pltpu.bitcast(_dup_lo(m_bits), jnp.bfloat16
-                                          ).astype(jnp.float32)
-                if r % 2 == 0:
-                    # top row: even col wins outright; odd col only if the
-                    # even partner missed
-                    route = m_eq * (1.0 - col_odd * prev_even)
-                    m_top_bits_prev = m_bits
-                else:
-                    # bottom row: any top-row hit blocks both; the odd col
-                    # additionally defers to its even partner
-                    any_top = pltpu.bitcast(
-                        _dup_lo(m_top_bits_prev) | _dup_hi(m_top_bits_prev),
-                        jnp.bfloat16).astype(jnp.float32)
-                    route = (m_eq * (1.0 - any_top)
-                             * (1.0 - col_odd * prev_even))
-                q = j * ti + r
-                row_ok = ((q >= 2) & (q <= h1 + 1)).astype(jnp.float32)
-                row = e_g.astype(jnp.float32) * route * col_valid * row_ok
-                out_ref[pl.ds(r * wp1, wp1), :] = row.astype(out_ref.dtype)
+                e_g = expand(go).astype(jnp.float32)
+
+                m_top_bits_prev = None
+                for r in (2 * k, 2 * k + 1):
+                    zin_row = zin_ref[pl.ds(r * wp1, wp1), :]
+                    m_eq = (zin_row.astype(jnp.float32)
+                            == e_z.astype(jnp.float32)).astype(jnp.float32)
+                    m_bits = pltpu.bitcast(m_eq.astype(jnp.bfloat16),
+                                           jnp.uint32)
+                    prev_even = pltpu.bitcast(_dup_lo(m_bits), jnp.bfloat16
+                                              ).astype(jnp.float32)
+                    if r % 2 == 0:
+                        # top row: even col wins outright; odd col only if
+                        # the even partner missed
+                        route = m_eq * (1.0 - col_odd * prev_even)
+                        m_top_bits_prev = m_bits
+                    else:
+                        # bottom row: any top-row hit blocks both; the odd
+                        # col additionally defers to its even partner
+                        any_top = pltpu.bitcast(
+                            _dup_lo(m_top_bits_prev)
+                            | _dup_hi(m_top_bits_prev),
+                            jnp.bfloat16).astype(jnp.float32)
+                        route = (m_eq * (1.0 - any_top)
+                                 * (1.0 - col_odd * prev_even))
+                    q = j * ti + r
+                    row_ok = ((q >= 2) & (q <= h1 + 1)).astype(jnp.float32)
+                    row = e_g * route * col_valid * row_ok
+                    out_ref[pl.ds(r * wp1, wp1), :] = row.astype(
+                        out_ref.dtype)
 
     return kernel
 
@@ -449,9 +454,9 @@ def _pp_bwd_kernel(gp: FlatGeom, g_out: FlatGeom, half: int):
                 col_ok = col_ok & ~(is_hi & (ss == last_col))
             is_hif = is_hi.astype(jnp.float32)
 
-            m_top = None
-            for r in range(t1):
-                lo_r = (r - 2) // 2 + 2
+            # in rows pair (2k, 2k+1) onto one out row; share the expands
+            for k in range(t1 // 2):
+                lo_r = k + 1
                 zo = zs[pl.ds(lo_r * wp2, wp2), :]
                 go = gs[pl.ds(lo_r * wp2, wp2), :]
                 # broadcast the out value/cotangent to both lane halves:
@@ -460,35 +465,40 @@ def _pp_bwd_kernel(gp: FlatGeom, g_out: FlatGeom, half: int):
                 # (x + 0) and hi lanes receive their lo partner (0 + x);
                 # max would corrupt negative z values against the zeros
                 e_z = zo + _lane_shift(zo, half)
-                e_g = go + _lane_shift(go, half)
-                zin_row = zin_ref[pl.ds(r * wp1, wp2), :]
-                # masked match bits: phantom matches on dead/pad lanes
-                # (0 == 0) must not propagate through the lane rolls
-                m_eq = jnp.where(
-                    col_ok & (zin_row.astype(jnp.float32)
-                              == e_z.astype(jnp.float32)),
-                    jnp.float32(1), jnp.float32(0))
-                # hi lanes defer to their lo partner's match
-                partner = pltpu.roll(m_eq, half, axis=1)
-                if r % 2 == 0:
-                    route = m_eq * (1.0 - is_hif * partner)
-                    m_top = m_eq
-                else:
-                    # any match in the top row blocks the whole bottom row
-                    any_top = jnp.maximum(
-                        m_top,
-                        jnp.maximum(
-                            pltpu.roll(m_top, half, axis=1),
-                            pltpu.roll(m_top, (-half) % 128, axis=1)))
-                    route = (m_eq * (1.0 - any_top)
-                             * (1.0 - is_hif * partner))
-                q = j * t1 + r
-                row_ok = ((q >= 2) & (q <= h1 + 1)).astype(jnp.float32)
-                row = e_g.astype(jnp.float32) * route * row_ok
-                out_ref[pl.ds(r * wp1, wp2), :] = row.astype(out_ref.dtype)
-                if wp1 > wp2:
-                    out_ref[pl.ds(r * wp1 + wp2, wp1 - wp2), :] = jnp.zeros(
-                        (wp1 - wp2, out_ref.shape[-1]), out_ref.dtype)
+                e_g = (go + _lane_shift(go, half)).astype(jnp.float32)
+
+                m_top = None
+                for r in (2 * k, 2 * k + 1):
+                    zin_row = zin_ref[pl.ds(r * wp1, wp2), :]
+                    # masked match bits: phantom matches on dead/pad lanes
+                    # (0 == 0) must not propagate through the lane rolls
+                    m_eq = jnp.where(
+                        col_ok & (zin_row.astype(jnp.float32)
+                                  == e_z.astype(jnp.float32)),
+                        jnp.float32(1), jnp.float32(0))
+                    # hi lanes defer to their lo partner's match
+                    partner = pltpu.roll(m_eq, half, axis=1)
+                    if r % 2 == 0:
+                        route = m_eq * (1.0 - is_hif * partner)
+                        m_top = m_eq
+                    else:
+                        # any match in the top row blocks the bottom row
+                        any_top = jnp.maximum(
+                            m_top,
+                            jnp.maximum(
+                                pltpu.roll(m_top, half, axis=1),
+                                pltpu.roll(m_top, (-half) % 128, axis=1)))
+                        route = (m_eq * (1.0 - any_top)
+                                 * (1.0 - is_hif * partner))
+                    q = j * t1 + r
+                    row_ok = ((q >= 2) & (q <= h1 + 1)).astype(jnp.float32)
+                    row = e_g * route * row_ok
+                    out_ref[pl.ds(r * wp1, wp2), :] = row.astype(
+                        out_ref.dtype)
+                    if wp1 > wp2:
+                        out_ref[pl.ds(r * wp1 + wp2, wp1 - wp2), :] = (
+                            jnp.zeros((wp1 - wp2, out_ref.shape[-1]),
+                                      out_ref.dtype))
 
     return kernel
 

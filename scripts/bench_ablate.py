@@ -102,11 +102,15 @@ def main() -> None:
     ap.add_argument("--flat_side", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--split_acc", action="store_true",
                     help="per-kh accumulators in the flat fwd kernel")
+    ap.add_argument("--bare", action="store_true",
+                    help="TIMING ONLY (wrong results): strip fwd-kernel "
+                         "relu/mask VPU work")
     args = ap.parse_args()
 
-    if args.split_acc:
+    if args.split_acc or args.bare:
         from osvos_tpu.ops.pallas import flatconv
-        flatconv._SPLIT_ACC = True
+        flatconv._SPLIT_ACC = args.split_acc
+        flatconv._TIMING_BARE = args.bare
 
     import jax
     import jax.numpy as jnp

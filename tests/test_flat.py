@@ -385,3 +385,45 @@ def test_pool_packed_pallas_matches_xla(rng, gt):
         lambda zz: pool_packed_p(zz, gp, g_out, True), z))(zfp)
     np.testing.assert_array_equal(np.asarray(gpp, np.float32),
                                   np.asarray(gw, np.float32))
+
+
+def test_fused_bwd_and_merged_taps_match_separate(rng):
+    """The one-pass fused backward (dz+dK+db) and the merged cross-pair
+    taps (9 -> 6 dots on packed buffers) must equal the separate
+    dgrad/wgrad kernels bit-for-bit on dz/db (dK to f32-accumulation
+    order) across every flag combination."""
+    import dataclasses as dc
+
+    from osvos_tpu.ops.pallas import flatconv as fc
+
+    x = rng.randn(2, 12, 20, 3).astype(np.float32)
+    g0 = FlatGeom(n=2, h=12, w=20, c=3, t=8)
+    gp = fc.packed_geom(g0)
+    zfp = fc.pack_image(jnp.asarray(x), gp)
+    gp2 = dc.replace(gp, c=2 * fc._half_pad(16))
+    k0 = jnp.asarray(0.1 * rng.randn(3, 3, 3, 16).astype(np.float32))
+    b0 = jnp.asarray(0.1 * rng.randn(16).astype(np.float32))
+    k1 = jnp.asarray(0.1 * rng.randn(3, 3, 16, 16).astype(np.float32))
+    b1 = jnp.asarray(0.1 * rng.randn(16).astype(np.float32))
+
+    def f(k0, b0, k1, b1):
+        z1 = fc.flat_conv3x3_input_packed(zfp, k0, b0, gp, True)
+        z2 = fc.flat_conv3x3_packed(z1, k1, b1, gp2, True)
+        return jnp.sum(z2.astype(jnp.float32) ** 2)
+
+    saved = fc._USE_MERGED_TAPS, fc._USE_FUSED_BWD
+    try:
+        grads = {}
+        for mt in (True, False):
+            for fu in (True, False):
+                fc._USE_MERGED_TAPS, fc._USE_FUSED_BWD = mt, fu
+                grads[(mt, fu)] = jax.grad(f, argnums=(0, 1, 2, 3))(
+                    k0, b0, k1, b1)
+    finally:
+        fc._USE_MERGED_TAPS, fc._USE_FUSED_BWD = saved
+    ref = grads[(False, False)]
+    for key, gset in grads.items():
+        for a, b in zip(gset, ref):
+            scale = np.abs(np.asarray(b)).max() + 1e-6
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5 * scale, err_msg=str(key))

@@ -62,16 +62,21 @@ class ModelConfig:
     # the reference stores them as ConvTranspose2d params trained at lr=0,
     # train_parent.py:~75 — numerically identical since they never change).
     trainable_upsample: bool = False
-    # flat mode: implementation of the four side_prep convs.
-    # 'pallas' (default): flat kernels. They price a conv at row-streams x
-    #   taps x lane TILES, so the 16-channel side outputs pay a full
-    #   128-lane tile for 12.5% utility (~7.5 ms/step fwd+bwd) — which
-    #   invited the 'xla' variant: XLA convs over the NHWC view do only
-    #   the real FLOPs. MEASURED SLOWER anyway (59.9 vs 57.9 ms/step,
-    #   v5e 480p batch 5): XLA's conv backward reintroduces the layout
-    #   churn the flat trunk exists to avoid (+1.75 ms in bwd, fwd a
-    #   wash). Kept as an A/B knob; correctness is tested on CPU.
-    flat_side: str = "pallas"  # 'pallas' | 'xla'
+    # flat mode: implementation of the four side_prep convs. The flat
+    # kernels price a conv at row-streams x taps x lane TILES, so the
+    # 16-channel side outputs pay a full 128-lane tile for 12.5% utility
+    # (~7.5 ms/step fwd+bwd). Both attempted alternatives MEASURED
+    # SLOWER on chip (v5e, 480p batch 5) and are kept as A/B knobs:
+    # 'pallas' (default): both directions on the flat kernels.
+    # 'stacked': Pallas forward + tap-stacked matmul backward
+    #   (flat_side_conv3x3; dgrad+wgrad as two flat matmuls against one
+    #   9-tap-stacked cotangent). The MXU units drop ~9x, but XLA's
+    #   materialization of the shift-concat + 256-lane re-pad costs more
+    #   than the dots saved: 56.9 vs 53.4 ms/step.
+    # 'xla': XLA convs over the NHWC view — XLA's conv backward
+    #   reintroduces relayout churn: 59.9 vs 57.9 ms/step (pre-prefetch
+    #   baseline).
+    flat_side: str = "pallas"  # 'pallas' | 'stacked' | 'xla'
 
 
 @dataclasses.dataclass

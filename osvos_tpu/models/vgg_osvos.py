@@ -162,13 +162,16 @@ class OSVOS(nn.Module):
 
     def _flat_convs(self, zf, g, widths, sname: str, j0: int,
                     interpret: bool):
-        """Chain flat 3x3 convs over a stage; returns (zf, g) after."""
+        """Chain flat 3x3 convs over a stage; returns (zf, g) after.
+
+        Buffers hold POST-relu activations: each conv fuses max(., 0)
+        into its epilogue (free) so no consumer pays a ReLU pass."""
         from osvos_tpu.ops.pallas.flatconv import flat_conv3x3
 
         for j, width in enumerate(widths, start=j0):
             kernel, bias = _ConvParams3x3(in_features=g.c, features=width,
                                           name=f"{sname}_conv{j}")()
-            zf = flat_conv3x3(zf, kernel, bias, g, True, interpret)
+            zf = flat_conv3x3(zf, kernel, bias, g, False, interpret, True)
             g = dataclasses.replace(g, c=width)
         return zf, g
 
@@ -244,8 +247,9 @@ class OSVOS(nn.Module):
 
         # 'flat' trunk: everything from the image to the side taps stays
         # in the flat layout — stem, stage convs, pooling and side_prep
-        # all run on flat pre-activation buffers (the kernels ReLU their
-        # input; max pool commutes with ReLU, so pooling z is exact). The
+        # all run on flat POST-relu buffers (each conv fuses max(., 0)
+        # into its epilogue, so consumers skip the ReLU pass; this also
+        # pools post-relu values exactly like the 'fast' path). The
         # only NHWC materializations are the tiny 16-channel side_temps.
         flat = cfg.compute_mode == "flat"
         if flat:
@@ -267,19 +271,21 @@ class OSVOS(nn.Module):
             if packed:
                 gp = packed_geom(g)
                 zf = pack_image(x, gp)
-                zf = flat_conv3x3_input_packed(zf, k0, b0, gp, interp)
+                zf = flat_conv3x3_input_packed(zf, k0, b0, gp, interp,
+                                               True)
                 gp = dataclasses.replace(
                     gp, c=2 * _half_pad(cfg.stages[0][0]))
                 g = dataclasses.replace(g, c=cfg.stages[0][0])
                 for j, width in enumerate(cfg.stages[0][1:], start=1):
                     kj, bj = _ConvParams3x3(in_features=g.c, features=width,
                                             name=f"stage1_conv{j}")()
-                    zf = flat_conv3x3_packed(zf, kj, bj, gp, interp)
+                    zf = flat_conv3x3_packed(zf, kj, bj, gp, interp,
+                                             False, True)
                     gp = dataclasses.replace(gp, c=2 * _half_pad(width))
                     g = dataclasses.replace(g, c=width)
             else:
                 zf = to_flat(x, g)
-                zf = flat_conv3x3_input(zf, k0, b0, g, interp)
+                zf = flat_conv3x3_input(zf, k0, b0, g, interp, True)
                 g = dataclasses.replace(g, c=cfg.stages[0][0])
                 zf, g = self._flat_convs(zf, g, cfg.stages[0][1:],
                                          "stage1", 1, interp)
@@ -306,26 +312,32 @@ class OSVOS(nn.Module):
                 ks, bs = _ConvParams3x3(in_features=g.c,
                                         features=cfg.side_channels,
                                         name=f"side_prep{i}")()
-                if cfg.flat_side == "xla":
+                if cfg.flat_side == "stacked":
+                    # Pallas forward + tap-stacked matmul backward (~9x
+                    # fewer bwd MXU units) — but MEASURED SLOWER overall
+                    # (56.9 vs 53.4 ms/step): XLA's materialization of
+                    # the stacked cotangent eats the savings. A/B knob;
+                    # see ModelConfig.flat_side / flat_side_conv3x3.
+                    from osvos_tpu.ops.pallas.flatconv import (
+                        flat_side_conv3x3)
+
+                    side_temp = flat_side_conv3x3(zf, ks, g, interp)
+                elif cfg.flat_side == "xla":
                     # The flat kernels price a conv at row-streams x taps x
                     # lane TILES — a 16-channel side output pays a full
                     # 128-lane tile (x9 taps, x3 passes) for 12.5% utility,
                     # ~7.5 ms/step across the four sides. XLA does the real
-                    # FLOPs; its NHWC boundary copy is the from_flat the
-                    # head needs anyway, and autodiff routes d(side_in)
-                    # back into the flat cotangent through from_flat's
-                    # transpose (a pad, fused into the dz add).
-                    x_side = jnp.maximum(
-                        from_flat(zf, g), jnp.bfloat16(0))
-                    # bf16 in/out: the MXU accumulates f32 internally, so
-                    # this matches the flat kernel's f32-acc -> bf16 write
+                    # FLOPs — but MEASURED SLOWER (59.9 vs 57.9 ms/step):
+                    # its conv backward reintroduces relayout churn. Kept
+                    # as an A/B knob; see ModelConfig.flat_side.
+                    # (zf holds post-relu activations already.)
                     side_temp = lax.conv_general_dilated(
-                        x_side, ks.astype(jnp.bfloat16), (1, 1),
+                        from_flat(zf, g), ks.astype(jnp.bfloat16), (1, 1),
                         ((1, 1), (1, 1)),
                         dimension_numbers=("NHWC", "HWIO", "NHWC"))
                 else:
-                    sf = flat_conv3x3(zf, ks, jnp.zeros_like(bs), g, True,
-                                      interp)
+                    sf = flat_conv3x3(zf, ks, jnp.zeros_like(bs), g, False,
+                                      interp, False)
                     side_temp = from_flat(
                         sf, dataclasses.replace(g, c=cfg.side_channels))
                 # bias is added in XLA (not a kernel epilogue): its

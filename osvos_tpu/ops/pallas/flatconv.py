@@ -37,13 +37,15 @@ Kernel recipe (shared by all three passes):
   pair-packed ``(v>>16)|(roll<<16)`` trick) for kw=2, then an in-place
   -2 row shift (a plain one-word downward roll) for kw=0. Each phase's
   dots stream straight from 2-D ref slices into the MXU.
-- fwd epilogue: bias add + validity mask (computed from an iota over the
-  block rows) so pad rows/cols stay exactly zero; the conv INPUT gets
-  ReLU'd in the prologue (buffers store pre-activation z; consumers apply
-  the nonlinearity, which also makes max-pool commute: pool(relu(z)) ==
-  relu(pool(z))).
-- dgrad epilogue: multiply by ``(z_in > 0)`` — the ReLU backward mask —
-  which doubles as the pad mask because z's pads are zero.
+- fwd epilogue: bias add + the trunk's ReLU (fused free into the same
+  select) + validity mask (computed from an iota over the block rows) so
+  pad rows/cols stay exactly zero. Buffers store POST-relu activations
+  (relu_output=True producers), so no consumer pays a ReLU prologue
+  pass; the legacy pre-activation convention (relu_input=True) is kept
+  for generality and tested equally.
+- dgrad epilogue: multiply by ``(input > 0)`` — the upstream ReLU's
+  backward mask (on post-relu buffers, input>0 <=> z>0) — which doubles
+  as the pad mask because the pads are zero.
 - wgrad: contraction over the row dim (lhs^T @ g), the (9, C, d_blk) f32
   result block stays resident across tiles; the bias gradient
   (column-sum of g) accumulates as a free second output.
@@ -125,8 +127,12 @@ class FlatGeom:
 
 
 def stage_t(h: int) -> int:
-    """Block rows per stage resolution, sized to the ~13 MB VMEM budget."""
-    return 8 if h >= 480 else 16
+    """Block rows per stage resolution: sized to the ~13 MB VMEM budget at
+    full res, and to the hp rounding waste at tiny res (stage 5's h=30
+    pads to hp=48 under t=16 — 41% dead row-streams; t=8 gives 40)."""
+    if h >= 480 or h + 4 <= 40:
+        return 8
+    return 16
 
 
 def to_flat(x: jnp.ndarray, g: FlatGeom) -> jnp.ndarray:
@@ -339,7 +345,8 @@ def _pick_out_blk(t: int, wp: int, c_contract: int, out_pad: int,
 
 
 def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
-                relu_input: bool, merged: int = 0):
+                relu_input: bool, merged: int = 0,
+                relu_output: bool = False):
     wp, t = g_in.wp, g_in.t
     k_rows = g_in.block_rows
     xs_rows = _LEAD_ROWS + (t + 2) * wp + 32
@@ -390,11 +397,14 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
                                lambda: _shift_down_2(xs, (t + 2) * wp))
                 taps(xs, 0, False)
 
-            # epilogue: bias + validity mask (pad rows/cols stay zero)
+            # epilogue: bias + (optional fused output ReLU) + validity
+            # mask (pad rows/cols stay zero)
             if _SPLIT_ACC:
                 out = acc[0] + acc[1] + acc[2] + bref[0][None, :]
             else:
                 out = acc[...] + bref[0][None, :]
+            if relu_output:
+                out = jnp.maximum(out, 0.0)
             if _TIMING_BARE:
                 out_ref[...] = out.astype(out_ref.dtype)
                 return
@@ -415,12 +425,15 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
 def _flat_conv_fwd_impl(zf: jnp.ndarray, kernel: jnp.ndarray,
                         bias: jnp.ndarray, g_in: FlatGeom, d: int,
                         relu_input: bool, interpret: bool,
-                        merged: int = 0) -> jnp.ndarray:
+                        merged: int = 0,
+                        relu_output: bool = False) -> jnp.ndarray:
     """zf: (rows, c_pad) bf16; kernel: (3, 3, C, D); bias: (D,).
 
     ``merged``: in-half lane count for pair-packed inputs — kernel must
     then already be the packed (3, 3, 2*hi, 2*ho) layout; the cross-pair
-    taps run merged (6 dots instead of 9, see merge_packed_taps)."""
+    taps run merged (6 dots instead of 9, see merge_packed_taps).
+    ``relu_output``: fuse max(., 0) into the epilogue (free — it rides
+    the existing validity-mask where); the post-relu storage mode."""
     c, c_pad = g_in.c, g_in.c_pad
     d_pad = _lane_pad(d)
     d_blk = _pick_out_blk(g_in.t, g_in.wp, c_pad, d_pad, 0)
@@ -447,7 +460,7 @@ def _flat_conv_fwd_impl(zf: jnp.ndarray, kernel: jnp.ndarray,
     if merged:
         scratch.append(pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16))
     out = pl.pallas_call(
-        _fwd_kernel(g_in, g_in.h, g_in.w, relu_input, merged),
+        _fwd_kernel(g_in, g_in.h, g_in.w, relu_input, merged, relu_output),
         out_shape=jax.ShapeDtypeStruct((g_out.rows, d_pad), jnp.bfloat16),
         grid=(d_tiles, g_in.total_tiles),
         in_specs=[
@@ -841,37 +854,45 @@ _USE_FUSED_BWD = True  # separate dgrad/wgrad kept for A/B + fallback
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flat_conv3x3(zf, kernel, bias, g_in: FlatGeom, relu_input: bool = True,
-                 interpret: bool = False):
-    """z_out = conv3x3(relu?(z_in)) + bias in flat layout.
+                 interpret: bool = False, relu_output: bool = False):
+    """relu?(conv3x3(relu?(z_in)) + bias) in flat layout.
 
-    zf: (g_in.rows, g_in.c_pad) bf16 flat buffer holding PRE-activation z
-    (the kernel applies the ReLU internally when relu_input=True; the
-    stem output is stored pre-relu too, so every trunk conv passes True).
+    Two storage conventions, both tested against the XLA twin:
+    - relu_input=True (legacy): zf holds PRE-activation z; the kernel
+      applies the ReLU to its input internally.
+    - relu_input=False: zf holds POST-relu activations (the producer
+      fused max(., 0) into its epilogue via relu_output=True). This
+      skips the consumer-side ReLU prologue pass; the backward is
+      UNCHANGED — the dz epilogue's (input > 0) mask is exactly the
+      producer's ReLU backward (on post-relu values, input>0 <=> z>0),
+      so the mask each consumer already applies routes the chain
+      correctly, including through pools (a zero-max window's cotangent
+      is killed by the downstream consumer before the pool routes it).
+
     kernel: (3, 3, C, D) float32 params; bias: (D,).
     Returns the (rows, d_pad) bf16 flat buffer of the NEXT geometry
     (same n/h/w/t, c=D). Matches nn.Conv(3x3, SAME) + ReLU chains
-    (reference make_layers_osvos, networks/vgg_osvos.py:~120); tested
-    against the XLA twin in tests/test_flat.py.
+    (reference make_layers_osvos, networks/vgg_osvos.py:~120); bf16
+    rounding commutes with ReLU, so either convention composes to the
+    same values as the 'fast' path.
     """
     return _flat_conv_fwd_impl(zf, kernel, bias, g_in, kernel.shape[-1],
-                               relu_input, interpret)
+                               relu_input, interpret,
+                               relu_output=relu_output)
 
 
-def _fc_fwd(zf, kernel, bias, g_in, relu_input, interpret):
+def _fc_fwd(zf, kernel, bias, g_in, relu_input, interpret, relu_output):
     out = _flat_conv_fwd_impl(zf, kernel, bias, g_in, kernel.shape[-1],
-                              relu_input, interpret)
+                              relu_input, interpret,
+                              relu_output=relu_output)
     return out, (zf, kernel)
 
 
-def _fc_bwd(g_in, relu_input, interpret, res, gf):
+def _fc_bwd(g_in, relu_input, interpret, relu_output, res, gf):
     zf, kernel = res
     d = kernel.shape[-1]
-    if not relu_input:
-        raise NotImplementedError(
-            "flat_conv3x3 backward assumes a ReLU'd input (the VGG trunk "
-            "always has one); forward-only use may pass relu_input=False")
     # Head-adjacent convs (side_prep) receive an f32 cotangent; bias
     # gradients are cancellation-heavy, so sum that one in f32 in XLA
     # rather than through the kernel's (bf16-input) fused column-sum —
@@ -897,12 +918,79 @@ flat_conv3x3.defvjp(_fc_fwd, _fc_bwd)
 
 
 # ---------------------------------------------------------------------------
+# side_prep conv: flat input -> NHWC 16-channel output, tap-stacked bwd
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def flat_side_conv3x3(zf, kernel, g_in: FlatGeom, interpret: bool = False):
+    """Side-prep conv: flat POST-relu input -> NHWC (n, h, w, D) bf16
+    output, no bias (the caller adds it in XLA so its cancellation-heavy
+    gradient reduces in f32).
+
+    Forward: the flat Pallas kernel. Backward: TAP-STACKED — the flat
+    kernels price a conv pass at row-streams x taps x lane tiles, so a
+    D=16-channel side pays 9 sweeps of a 1/8-utilized 128-lane tile in
+    EACH of dgrad and wgrad. With D=16, all nine taps fit in two lane
+    tiles of one stacked cotangent ``G[s, D*t + d] = gf[s - off_t, d]``
+    (built as one NHWC shift-concat + to_flat), and both gradients
+    collapse to plain flat matmuls sharing G:
+
+        dz = G @ KT,        KT[D*t + d, c] = K[kh, kw, c, d]
+        dK[kh, kw, c, d] = (zf^T @ G)[c, D*t + d]
+
+    (row-stream units drop ~9x -> 2x per pass). G's pad rows are zero by
+    construction, so dz keeps the flat zero-pad invariant with no mask.
+
+    MEASURED SLOWER end-to-end than the plain flat-kernel side backward
+    (56.9 vs 53.4 ms/step, v5e 480p batch 5): XLA materializes the
+    9-slice shift-concat and the 256-lane to_flat re-pad as full passes,
+    costing more than the MXU units saved. Kept as an A/B knob
+    (ModelConfig.flat_side='stacked') and as the recorded negative
+    result; a Pallas G-builder could revisit it."""
+    sf = _flat_conv_fwd_impl(zf, kernel, jnp.zeros((kernel.shape[-1],),
+                                                   jnp.float32),
+                             g_in, kernel.shape[-1], False, interpret)
+    return from_flat(sf, dataclasses.replace(g_in, c=kernel.shape[-1]))
+
+
+def _fsc_fwd(zf, kernel, g_in, interpret):
+    return flat_side_conv3x3(zf, kernel, g_in, interpret), (zf, kernel)
+
+
+def _fsc_bwd(g_in: FlatGeom, interpret, res, gf):
+    zf, kernel = res
+    c, dd = kernel.shape[2], kernel.shape[3]
+    gf = gf.astype(jnp.bfloat16)
+    n, h, w = g_in.n, g_in.h, g_in.w
+    # G[y, x, D*t + d] = gf[y - (kh-1), x - (kw-1), d], zero outside
+    gp = jnp.pad(gf, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    taps = [gp[:, 2 - kh:2 - kh + h, 2 - kw:2 - kw + w, :]
+            for kh in range(3) for kw in range(3)]
+    g_geom = dataclasses.replace(g_in, c=9 * dd)
+    G = to_flat(jnp.concatenate(taps, axis=-1), g_geom)
+
+    kt = kernel.astype(jnp.bfloat16).transpose(0, 1, 3, 2).reshape(9 * dd,
+                                                                   c)
+    kt = jnp.pad(kt, ((0, g_geom.c_pad - 9 * dd), (0, g_in.c_pad - c)))
+    dz = jax.lax.dot_general(G, kt, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dks = jax.lax.dot_general(zf, G, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dk = dks[:c, :9 * dd].reshape(c, 3, 3, dd).transpose(1, 2, 0, 3)
+    return dz.astype(zf.dtype), dk.astype(kernel.dtype)
+
+
+flat_side_conv3x3.defvjp(_fsc_fwd, _fsc_bwd)
+
+
+# ---------------------------------------------------------------------------
 # XLA twin (tests + CPU fallback)
 # ---------------------------------------------------------------------------
 
 
 def flat_conv3x3_ref(zf, kernel, bias, g_in: FlatGeom,
-                     relu_input: bool = True):
+                     relu_input: bool = True, relu_output: bool = False):
     """Pure-XLA reference with identical flat-buffer semantics."""
     x = from_flat(zf, g_in).astype(jnp.float32)
     if relu_input:
@@ -911,6 +999,8 @@ def flat_conv3x3_ref(zf, kernel, bias, g_in: FlatGeom,
         x, kernel.astype(jnp.bfloat16).astype(jnp.float32), (1, 1),
         ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
     y = y + bias.astype(jnp.float32)
+    if relu_output:
+        y = jnp.maximum(y, 0)
     g_out = dataclasses.replace(g_in, c=kernel.shape[-1])
     return to_flat(y, g_out)
 
@@ -920,24 +1010,25 @@ def flat_conv3x3_ref(zf, kernel, bias, g_in: FlatGeom,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flat_conv3x3_input(zf, kernel, bias, g_in: FlatGeom,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       relu_output: bool = False):
     """Input-layer conv: like flat_conv3x3 but the input is NOT ReLU'd
     (it is the preprocessed image) and no input cotangent is produced
     (images are never differentiated — skipping the dgrad kernel saves a
     full stage-1-sized pass in the backward)."""
     return _flat_conv_fwd_impl(zf, kernel, bias, g_in, kernel.shape[-1],
-                               False, interpret)
+                               False, interpret, relu_output=relu_output)
 
 
-def _fci_fwd(zf, kernel, bias, g_in, interpret):
+def _fci_fwd(zf, kernel, bias, g_in, interpret, relu_output):
     out = _flat_conv_fwd_impl(zf, kernel, bias, g_in, kernel.shape[-1],
-                              False, interpret)
+                              False, interpret, relu_output=relu_output)
     return out, (zf, kernel)
 
 
-def _fci_bwd(g_in, interpret, res, gf):
+def _fci_bwd(g_in, interpret, relu_output, res, gf):
     zf, kernel = res
     d = kernel.shape[-1]
     gf = gf.astype(jnp.bfloat16)
@@ -993,8 +1084,9 @@ def _embed_pool_out(m, g_out: FlatGeom):
 def pool_flat(zf, g_in: FlatGeom, g_out: FlatGeom):
     """Ceil-mode 2x2/2 max pool, flat buffer -> flat buffer.
 
-    Operates on PRE-activation z: max commutes with the consumers' ReLU,
-    and the backward tie-routing matches the reference chain exactly (see
+    Value-agnostic: the production trunk feeds it POST-relu activations
+    (exactly what the reference's MaxPool sees, VGG pools after ReLU);
+    the backward tie-routing matches the reference chain exactly (see
     ops/pool.py for the row-major-first argument; tested against the
     torch oracle via the model-level flat-vs-fast tests).
     """
@@ -1158,25 +1250,27 @@ def unpack_dk(dkp: jnp.ndarray, ci: int, co: int) -> jnp.ndarray:
 _USE_MERGED_TAPS = True  # 6-dot cross-pair merge for packed convs (A/B)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flat_conv3x3_packed(zfp, kernel, bias, gp: FlatGeom,
-                        interpret: bool = False):
-    """Packed-layout trunk conv (input ReLU'd in-kernel, like
-    flat_conv3x3). zfp: packed flat buffer of gp; kernel (3,3,ci,co)
+                        interpret: bool = False, relu_input: bool = True,
+                        relu_output: bool = False):
+    """Packed-layout trunk conv; same storage conventions as
+    flat_conv3x3. zfp: packed flat buffer of gp; kernel (3,3,ci,co)
     logical params. Output is the packed buffer with c = 2*co."""
     kp, bp = packed_weights(kernel, bias)
     gi = dataclasses.replace(gp, c=kp.shape[2])
     merged = kp.shape[2] // 2 if _USE_MERGED_TAPS else 0
-    return _flat_conv_fwd_impl(zfp, kp, bp, gi, kp.shape[3], True,
-                               interpret, merged=merged)
+    return _flat_conv_fwd_impl(zfp, kp, bp, gi, kp.shape[3], relu_input,
+                               interpret, merged=merged,
+                               relu_output=relu_output)
 
 
-def _fcp_fwd(zfp, kernel, bias, gp, interpret):
-    return flat_conv3x3_packed(zfp, kernel, bias, gp, interpret), (zfp,
-                                                                   kernel)
+def _fcp_fwd(zfp, kernel, bias, gp, interpret, relu_input, relu_output):
+    return flat_conv3x3_packed(zfp, kernel, bias, gp, interpret,
+                               relu_input, relu_output), (zfp, kernel)
 
 
-def _fcp_bwd(gp, interpret, res, gf):
+def _fcp_bwd(gp, interpret, relu_input, relu_output, res, gf):
     zfp, kernel = res
     ci, co = kernel.shape[2], kernel.shape[3]
     kp, _ = packed_weights(kernel, jnp.zeros((co,), jnp.float32))
@@ -1186,14 +1280,15 @@ def _fcp_bwd(gp, interpret, res, gf):
     merged = hi if _USE_MERGED_TAPS else 0
     if _USE_FUSED_BWD:
         dz, dkp, dbp = _flat_conv_bwd_fused_impl(zfp, gf, kp, gi,
-                                                 kp.shape[3], True,
+                                                 kp.shape[3], relu_input,
                                                  interpret, merged=merged)
         dk = (unpack_dk_merged_cols(dkp, ci, co, hi, ho) if merged
               else unpack_dk(dkp, ci, co))
     else:
         dz = _flat_conv_dgrad_impl(gf, kp, zfp, gi, kp.shape[3], interpret)
-        dkp, dbp = _flat_conv_wgrad_impl(zfp, gf, gi, kp.shape[3], True,
-                                         interpret, merged=merged)
+        dkp, dbp = _flat_conv_wgrad_impl(zfp, gf, gi, kp.shape[3],
+                                         relu_input, interpret,
+                                         merged=merged)
         dk = (unpack_dk_merged_rows(dkp, ci, co, hi, ho) if merged
               else unpack_dk(dkp, ci, co))
     db = (dbp[:co] + dbp[ho:ho + co]).astype(jnp.float32)
@@ -1203,23 +1298,25 @@ def _fcp_bwd(gp, interpret, res, gf):
 flat_conv3x3_packed.defvjp(_fcp_fwd, _fcp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flat_conv3x3_input_packed(zfp, kernel, bias, gp: FlatGeom,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              relu_output: bool = False):
     """Packed stem: raw (packed) image in, no input ReLU, no dz."""
     kp, bp = packed_weights(kernel, bias)
     gi = dataclasses.replace(gp, c=kp.shape[2])
     merged = kp.shape[2] // 2 if _USE_MERGED_TAPS else 0
     return _flat_conv_fwd_impl(zfp, kp, bp, gi, kp.shape[3], False,
-                               interpret, merged=merged)
+                               interpret, merged=merged,
+                               relu_output=relu_output)
 
 
-def _fcip_fwd(zfp, kernel, bias, gp, interpret):
-    return flat_conv3x3_input_packed(zfp, kernel, bias, gp,
-                                     interpret), (zfp, kernel)
+def _fcip_fwd(zfp, kernel, bias, gp, interpret, relu_output):
+    return flat_conv3x3_input_packed(zfp, kernel, bias, gp, interpret,
+                                     relu_output), (zfp, kernel)
 
 
-def _fcip_bwd(gp, interpret, res, gf):
+def _fcip_bwd(gp, interpret, relu_output, res, gf):
     zfp, kernel = res
     ci, co = kernel.shape[2], kernel.shape[3]
     hi, ho = _half_pad(ci), _half_pad(co)

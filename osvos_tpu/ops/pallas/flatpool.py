@@ -41,6 +41,45 @@ from jax.experimental.pallas import tpu as pltpu
 from osvos_tpu.ops.pallas.flatconv import FlatGeom, _round_up
 
 
+def _dma_pipeline(tt, last, make_copies, body) -> None:
+    """Double-buffered windowed DMA (the pool twin of flatconv's
+    _with_prefetched_xs): tile tt+1's window copies start before tile
+    tt's are waited on, so the transfers ride under the VPU reduction —
+    the back-to-back start();wait() form serializes every tile's copy
+    with its compute. ``make_copies(tile, slot)`` returns the async
+    copies for a tile into buffer slot 0/1; ``body(slot)`` consumes (and
+    may destroy) that slot while the other holds the in-flight copy."""
+
+    @pl.when(tt == 0)
+    def _():
+        for cp in make_copies(1, 1):
+            cp.start()
+
+    interior = (tt >= 1) & (tt < last)
+
+    @pl.when(interior & (tt + 1 < last) & (tt % 2 == 1))
+    def _():
+        for cp in make_copies(tt + 1, 0):
+            cp.start()
+
+    @pl.when(interior & (tt + 1 < last) & (tt % 2 == 0))
+    def _():
+        for cp in make_copies(tt + 1, 1):
+            cp.start()
+
+    @pl.when(interior & (tt % 2 == 1))
+    def _():
+        for cp in make_copies(tt, 1):
+            cp.wait()
+        body(1)
+
+    @pl.when(interior & (tt % 2 == 0))
+    def _():
+        for cp in make_copies(tt, 0):
+            cp.wait()
+        body(0)
+
+
 def _shift_up2_inplace(xs, n_rows: int) -> None:
     """xs[r] <- xs[r+2]: one aligned u32-word roll, chunks walk upward."""
     n_w = n_rows // 2
@@ -80,7 +119,7 @@ def _fwd_kernel(g_in: FlatGeom, g_out: FlatGeom):
     w_odd = (w1 % 2) == 1
     in_rows_total = g_in.rows
 
-    def kernel(zin_hbm, out_ref, xs, obuf, sem):
+    def kernel(zin_hbm, out_ref, xs0, xs1, obuf, sem):
         tt = pl.program_id(0)
         edge = (tt == 0) | (tt == last)
 
@@ -88,10 +127,7 @@ def _fwd_kernel(g_in: FlatGeom, g_out: FlatGeom):
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        @pl.when(jnp.logical_not(edge))
-        def _():
-            j = (tt - 1) % jt2
-            n = (tt - 1) // jt2
+        def window(tile):
             # window start: padded in row 2*j*tau - 2 of image n — an
             # aligned multiple of wp1; negative per-image starts land in
             # the zero lead block. The LAST tiles of the last image can
@@ -99,14 +135,22 @@ def _fwd_kernel(g_in: FlatGeom, g_out: FlatGeom):
             # 2*hp_out input rows > hp_in + tail for deep stages), so the
             # window clamps to the buffer end and the reads shift by the
             # whole-row delta.
+            j = (tile - 1) % jt2
+            n = (tile - 1) // jt2
             off_u = (g_in.t + n * g_in.hp + 2 * j * tau - 2) * wp1
             off = jnp.minimum(off_u, in_rows_total - xs_rows)
             off = pl.multiple_of(off, 16)
-            dd = (off_u - off) // wp1  # rows the window slid down
-            dma = pltpu.make_async_copy(
-                zin_hbm.at[pl.ds(off, xs_rows)], xs, sem)
-            dma.start()
-            dma.wait()
+            return j, off, (off_u - off) // wp1  # dd: rows slid down
+
+        def copies(tile, slot):
+            _, off, _ = window(tile)
+            xs = xs0 if slot == 0 else xs1
+            return (pltpu.make_async_copy(
+                zin_hbm.at[pl.ds(off, xs_rows)], xs, sem.at[slot]),)
+
+        def body(slot):
+            xs = xs0 if slot == 0 else xs1
+            j, _, dd = window(tt)
             # column shift: padded col w+2 -> w (pure flat -2 shift; each
             # row's 2-entry tail borrows from the next row — junk beyond
             # the valid width, masked at the end)
@@ -142,6 +186,8 @@ def _fwd_kernel(g_in: FlatGeom, g_out: FlatGeom):
             rolled = _roll2_bf16(obuf[...])
             out_ref[...] = jnp.where(valid, rolled, jnp.bfloat16(0))
 
+        _dma_pipeline(tt, last, copies, body)
+
     return kernel
 
 
@@ -162,8 +208,9 @@ def pool_flat_fwd_pallas(zf, g_in: FlatGeom, g_out: FlatGeom,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((xs_rows, g_in.c_pad), jnp.bfloat16),
+            pltpu.VMEM((xs_rows, g_in.c_pad), jnp.bfloat16),
             pltpu.VMEM((g_out.block_rows, g_out.c_pad), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(zf)
@@ -186,7 +233,8 @@ def _bwd_kernel(g_in: FlatGeom, g_out: FlatGeom):
     h1, w1 = g_in.h, g_in.w
     w2_rows = (ti // 2 + 2) * wp2
 
-    def kernel(zout_hbm, gout_hbm, zin_ref, out_ref, zs, gs, sem):
+    def kernel(zout_hbm, gout_hbm, zin_ref, out_ref, zs0, zs1, gs0, gs1,
+               sem):
         tt = pl.program_id(0)
         edge = (tt == 0) | (tt == last)
 
@@ -194,20 +242,27 @@ def _bwd_kernel(g_in: FlatGeom, g_out: FlatGeom):
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        @pl.when(jnp.logical_not(edge))
-        def _():
-            j = (tt - 1) % jt1
-            n = (tt - 1) // jt1
-            off = pl.multiple_of(
+        def offset(tile):
+            j = (tile - 1) % jt1
+            n = (tile - 1) // jt1
+            return j, pl.multiple_of(
                 (g_out.t + n * g_out.hp + (j * ti) // 2) * wp2, 16)
-            d1 = pltpu.make_async_copy(
-                zout_hbm.at[pl.ds(off, w2_rows)], zs, sem.at[0])
-            d2 = pltpu.make_async_copy(
-                gout_hbm.at[pl.ds(off, w2_rows)], gs, sem.at[1])
-            d1.start()
-            d2.start()
-            d1.wait()
-            d2.wait()
+
+        def copies(tile, slot):
+            _, off = offset(tile)
+            zs = zs0 if slot == 0 else zs1
+            gs = gs0 if slot == 0 else gs1
+            return (
+                pltpu.make_async_copy(zout_hbm.at[pl.ds(off, w2_rows)],
+                                      zs, sem.at[0, slot]),
+                pltpu.make_async_copy(gout_hbm.at[pl.ds(off, w2_rows)],
+                                      gs, sem.at[1, slot]),
+            )
+
+        def body(slot):
+            zs = zs0 if slot == 0 else zs1
+            gs = gs0 if slot == 0 else gs1
+            j, _ = offset(tt)
             # 0-based cols in the out windows
             _shift_up2_inplace(zs, (ti // 2 + 2) * wp2 - 2)
             _shift_up2_inplace(gs, (ti // 2 + 2) * wp2 - 2)
@@ -264,6 +319,8 @@ def _bwd_kernel(g_in: FlatGeom, g_out: FlatGeom):
                     out_ref[pl.ds(r * wp1, wp1), :] = row.astype(
                         out_ref.dtype)
 
+        _dma_pipeline(tt, last, copies, body)
+
     return kernel
 
 
@@ -288,7 +345,9 @@ def pool_flat_bwd_pallas(zin, zout, gout, g_in: FlatGeom, g_out: FlatGeom,
         scratch_shapes=[
             pltpu.VMEM((w2_rows, g_out.c_pad), jnp.bfloat16),
             pltpu.VMEM((w2_rows, g_out.c_pad), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((w2_rows, g_out.c_pad), jnp.bfloat16),
+            pltpu.VMEM((w2_rows, g_out.c_pad), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
     )(zout, gout, zin)
@@ -332,7 +391,7 @@ def _pp_fwd_kernel(gp: FlatGeom, g_out: FlatGeom, half: int):
     in_rows_total = gp.rows
     w_odd = (w1 % 2) == 1
 
-    def kernel(zin_hbm, out_ref, xs, obuf, sem):
+    def kernel(zin_hbm, out_ref, xs0, xs1, obuf, sem):
         tt = pl.program_id(0)
         edge = (tt == 0) | (tt == last)
 
@@ -340,18 +399,23 @@ def _pp_fwd_kernel(gp: FlatGeom, g_out: FlatGeom, half: int):
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        @pl.when(jnp.logical_not(edge))
-        def _():
-            j = (tt - 1) % jt2
-            n = (tt - 1) // jt2
+        def window(tile):
+            j = (tile - 1) % jt2
+            n = (tile - 1) // jt2
             off_u = (gp.t + n * gp.hp + 2 * (j * t2) - 2) * wp1
             off = jnp.minimum(off_u, in_rows_total - xs_rows)
             off = pl.multiple_of(off, 16)
-            dd = (off_u - off) // wp1
-            dma = pltpu.make_async_copy(
-                zin_hbm.at[pl.ds(off, xs_rows)], xs, sem)
-            dma.start()
-            dma.wait()
+            return j, off, (off_u - off) // wp1
+
+        def copies(tile, slot):
+            _, off, _ = window(tile)
+            xs = xs0 if slot == 0 else xs1
+            return (pltpu.make_async_copy(
+                zin_hbm.at[pl.ds(off, xs_rows)], xs, sem.at[slot]),)
+
+        def body(slot):
+            xs = xs0 if slot == 0 else xs1
+            j, _, dd = window(tt)
 
             row_cap = xs_rows // wp1 - 1
             for r in range(t2):
@@ -381,6 +445,8 @@ def _pp_fwd_kernel(gp: FlatGeom, g_out: FlatGeom, half: int):
                      & (lane < co))
             out_ref[...] = jnp.where(valid, obuf[...], jnp.bfloat16(0))
 
+        _dma_pipeline(tt, last, copies, body)
+
     return kernel
 
 
@@ -403,8 +469,9 @@ def pool_packed_fwd_pallas(zfp, gp: FlatGeom, g_out: FlatGeom,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((xs_rows, gp.c_pad), jnp.bfloat16),
+            pltpu.VMEM((xs_rows, gp.c_pad), jnp.bfloat16),
             pltpu.VMEM((g_out.block_rows, g_out.c_pad), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(zfp)
@@ -421,7 +488,8 @@ def _pp_bwd_kernel(gp: FlatGeom, g_out: FlatGeom, half: int):
     # in padded col s holds pair u' = s - 2; valid pairs 0..ceil(w1/2)-1
     last_col = g_out.w + 1
 
-    def kernel(zout_hbm, gout_hbm, zin_ref, out_ref, zs, gs, sem):
+    def kernel(zout_hbm, gout_hbm, zin_ref, out_ref, zs0, zs1, gs0, gs1,
+               sem):
         tt = pl.program_id(0)
         edge = (tt == 0) | (tt == last)
 
@@ -429,20 +497,27 @@ def _pp_bwd_kernel(gp: FlatGeom, g_out: FlatGeom, half: int):
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        @pl.when(jnp.logical_not(edge))
-        def _():
-            j = (tt - 1) % jt1
-            n = (tt - 1) // jt1
-            off = pl.multiple_of(
+        def offset(tile):
+            j = (tile - 1) % jt1
+            n = (tile - 1) // jt1
+            return j, pl.multiple_of(
                 (g_out.t + n * g_out.hp + (j * t1) // 2) * wp2, 16)
-            d1 = pltpu.make_async_copy(
-                zout_hbm.at[pl.ds(off, w2_rows)], zs, sem.at[0])
-            d2 = pltpu.make_async_copy(
-                gout_hbm.at[pl.ds(off, w2_rows)], gs, sem.at[1])
-            d1.start()
-            d2.start()
-            d1.wait()
-            d2.wait()
+
+        def copies(tile, slot):
+            _, off = offset(tile)
+            zs = zs0 if slot == 0 else zs1
+            gs = gs0 if slot == 0 else gs1
+            return (
+                pltpu.make_async_copy(zout_hbm.at[pl.ds(off, w2_rows)],
+                                      zs, sem.at[0, slot]),
+                pltpu.make_async_copy(gout_hbm.at[pl.ds(off, w2_rows)],
+                                      gs, sem.at[1, slot]),
+            )
+
+        def body(slot):
+            zs = zs0 if slot == 0 else zs1
+            gs = gs0 if slot == 0 else gs1
+            j, _ = offset(tt)
 
             ss = jax.lax.broadcasted_iota(jnp.int32, (wp2, 1), 0)
             lane = jax.lax.broadcasted_iota(jnp.int32, (wp2, 128), 1)
@@ -500,6 +575,8 @@ def _pp_bwd_kernel(gp: FlatGeom, g_out: FlatGeom, half: int):
                             jnp.zeros((wp1 - wp2, out_ref.shape[-1]),
                                       out_ref.dtype))
 
+        _dma_pipeline(tt, last, copies, body)
+
     return kernel
 
 
@@ -523,7 +600,9 @@ def pool_packed_bwd_pallas(zin, zout, gout, gp: FlatGeom, g_out: FlatGeom,
         scratch_shapes=[
             pltpu.VMEM((w2_rows, g_out.c_pad), jnp.bfloat16),
             pltpu.VMEM((w2_rows, g_out.c_pad), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((w2_rows, g_out.c_pad), jnp.bfloat16),
+            pltpu.VMEM((w2_rows, g_out.c_pad), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
     )(zout, gout, zin)

@@ -99,7 +99,8 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=854)
     ap.add_argument("--mode", default="flat")
-    ap.add_argument("--flat_side", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--flat_side", default="stacked",
+                    choices=["stacked", "xla", "pallas"])
     ap.add_argument("--split_acc", action="store_true",
                     help="per-kh accumulators in the flat fwd kernel")
     ap.add_argument("--bare", action="store_true",

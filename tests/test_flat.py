@@ -427,3 +427,44 @@ def test_fused_bwd_and_merged_taps_match_separate(rng):
             scale = np.abs(np.asarray(b)).max() + 1e-6
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5 * scale, err_msg=str(key))
+
+
+@pytest.mark.parametrize("geom_tuple", GEOMS)
+def test_flat_conv_postrelu_mode_matches_twin(rng, geom_tuple):
+    """Post-relu storage mode (relu_input=False, relu_output=True): the
+    production trunk convention. Values AND grads vs the XLA twin."""
+    g, zf, k, b = _mk(rng, geom_tuple)
+    # post-relu input buffer (what an upstream relu_output conv emits)
+    zf = jnp.maximum(zf, 0)
+    d = k.shape[-1]
+    g_out = FlatGeom(n=g.n, h=g.h, w=g.w, c=d, t=g.t)
+    r = jnp.asarray(rng.randn(g.n, g.h, g.w, d).astype(np.float32))
+
+    out = flat_conv3x3(zf, k, b, g, False, True, True)
+    ref = flat_conv3x3_ref(zf, k, b, g, relu_input=False, relu_output=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0, atol=2e-2)
+
+    # chain two post-relu convs so the consumer-side (input>0) mask is
+    # exercised as the producer's relu backward
+    k2 = jnp.asarray(0.1 * rng.randn(3, 3, d, d).astype(np.float32))
+    b2 = jnp.asarray(0.1 * rng.randn(d).astype(np.float32))
+
+    def loss_pallas(zf, k, b, k2, b2):
+        a = flat_conv3x3(zf, k, b, g, False, True, True)
+        out = flat_conv3x3(a, k2, b2, g_out, False, True, False)
+        return jnp.sum(from_flat(out, g_out).astype(jnp.float32) * r)
+
+    def loss_ref(zf, k, b, k2, b2):
+        a = flat_conv3x3_ref(zf, k, b, g, relu_input=False,
+                             relu_output=True)
+        out = flat_conv3x3_ref(a, k2, b2, g_out, relu_input=False)
+        return jnp.sum(from_flat(out, g_out).astype(jnp.float32) * r)
+
+    gp = jax.grad(loss_pallas, argnums=(1, 2, 3, 4))(zf, k, b, k2, b2)
+    gr = jax.grad(loss_ref, argnums=(1, 2, 3, 4))(zf, k, b, k2, b2)
+    for a, bb in zip(gp, gr):
+        scale = np.abs(np.asarray(bb)).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=3e-2 * scale)

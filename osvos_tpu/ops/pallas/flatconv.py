@@ -240,6 +240,26 @@ def _merge_pairs_to(ym, xs, n_rows: int, half: int) -> None:
             jnp.where(lane < half, prev_hi, next_lo), jnp.bfloat16)
 
 
+def _copy_shifted(ym, xs, n_rows: int, delta: int) -> None:
+    """ym[r] <- xs[r + delta] (delta in {-1, +1}) over the tap region,
+    OUT OF PLACE: xs is only read, so the consuming dots need no
+    write-after-read ordering against the other phases — removing the
+    _ordered_after barriers between shift passes and dots lets Mosaic
+    overlap these VPU passes with the dense-phase MXU work. Same u32
+    sublane-pair trick as the in-place shifts."""
+    n_sh = n_rows // 2 + 8
+    ch = _round_up(-(-n_sh // 8), 8)
+    for a in range(8, 8 + n_sh, ch):
+        b = min(a + ch, 8 + n_sh)
+        w = pltpu.bitcast(xs[pl.ds(2 * (a - 8), 2 * (b - a) + 18), :],
+                          jnp.uint32)
+        if delta == 1:
+            out = (w[8:8 + (b - a)] >> 16) | (w[9:9 + (b - a)] << 16)
+        else:
+            out = (w[7:7 + (b - a)] >> 16) | (w[8:8 + (b - a)] << 16)
+        ym[pl.ds(2 * a, 2 * (b - a)), :] = pltpu.bitcast(out, jnp.bfloat16)
+
+
 def merge_packed_taps(k9: jnp.ndarray, a: int, b: int) -> jnp.ndarray:
     """(9, in_pad, out_pad) pair-packed taps -> (6, in_pad, out_pad):
     [0..2] the dense delta=0 taps, [3..5] the merged cross-pair taps
@@ -387,15 +407,12 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
                 taps(xs, 0, True, stride=1)   # dense taps (kref 0..2)
                 taps(ym, 3, False, stride=1)  # merged taps (kref 3..5)
             else:
+                ym1, ym2 = opt_ym
+                _copy_shifted(ym1, xs, (t + 2) * wp, 1)
+                _copy_shifted(ym2, xs, (t + 2) * wp, -1)
                 taps(xs, 1, True)
-                anchor = (acc[0, 0, 0] if _SPLIT_ACC else acc[0, 0])
-                _ordered_after(anchor,
-                               lambda: _shift_up_1(xs, (t + 2) * wp))
-                taps(xs, 2, False)
-                anchor = (acc[0, 0, 1] if _SPLIT_ACC else acc[0, 1])
-                _ordered_after(anchor,
-                               lambda: _shift_down_2(xs, (t + 2) * wp))
-                taps(xs, 0, False)
+                taps(ym1, 2, False)
+                taps(ym2, 0, False)
 
             # epilogue: bias + (optional fused output ReLU) + validity
             # mask (pad rows/cols stay zero)
@@ -457,7 +474,9 @@ def _flat_conv_fwd_impl(zf: jnp.ndarray, kernel: jnp.ndarray,
         pltpu.VMEM(acc_shape, jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
-    if merged:
+    # merged: one cross-pair operand buffer; unmerged: two out-of-place
+    # shifted-tap buffers (barrier-free dots)
+    for _ in range(1 if merged else 2):
         scratch.append(pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16))
     out = pl.pallas_call(
         _fwd_kernel(g_in, g_in.h, g_in.w, relu_input, merged, relu_output),
@@ -749,24 +768,16 @@ def _bwd_fused_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0):
                 _merge_pairs_to(ym, xs, (t + 2) * wp, merged)
                 phase(xs, 0, 0, True, stride=1)   # dense taps
                 phase(ym, 3, 3, False, stride=1)  # merged cross-pair taps
-                db_ref[0:1, :] += jnp.sum(
-                    xs[pl.ds(_LEAD_ROWS + wp, k_rows), :].astype(
-                        jnp.float32), axis=0, keepdims=True)
             else:
+                ym1, ym2 = opt_ym
+                _copy_shifted(ym1, xs, (t + 2) * wp, 1)
+                _copy_shifted(ym2, xs, (t + 2) * wp, -1)
                 phase(xs, 1, 1, True)
-                db_ref[0:1, :] += jnp.sum(
-                    xs[pl.ds(_LEAD_ROWS + wp, k_rows), :].astype(
-                        jnp.float32), axis=0, keepdims=True)
-                # the shift must wait for every read of xs this phase: the
-                # dgrad acc, the wgrad accumulates AND the db column-sum
-                anchor = acc[0, 0] + dk_ref[4, 0, 0] + db_ref[0, 0]
-                _ordered_after(anchor,
-                               lambda: _shift_up_1(xs, (t + 2) * wp))
-                phase(xs, 2, 0, False)
-                anchor = acc[0, 1] + dk_ref[3, 0, 0]
-                _ordered_after(anchor,
-                               lambda: _shift_down_2(xs, (t + 2) * wp))
-                phase(xs, 0, 2, False)
+                phase(ym1, 2, 0, False)
+                phase(ym2, 0, 2, False)
+            db_ref[0:1, :] += jnp.sum(
+                xs[pl.ds(_LEAD_ROWS + wp, k_rows), :].astype(jnp.float32),
+                axis=0, keepdims=True)
 
             # ReLU backward + pad mask (zref holds relu(z); z pads are 0)
             zmask = zref[...].astype(jnp.float32) > 0.0
@@ -810,7 +821,9 @@ def _flat_conv_bwd_fused_impl(zf: jnp.ndarray, gf: jnp.ndarray,
         pltpu.VMEM((g_in.block_rows, c_pad), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
-    if merged:
+    # merged: one cross-pair operand buffer; unmerged: two out-of-place
+    # shifted-tap buffers (barrier-free dots)
+    for _ in range(1 if merged else 2):
         scratch.append(pltpu.VMEM((xs_rows, d_pad), jnp.bfloat16))
     dz, dk, db = pl.pallas_call(
         _bwd_fused_kernel(g_in, relu_input, merged),

@@ -65,18 +65,19 @@ class ModelConfig:
     # flat mode: implementation of the four side_prep convs. The flat
     # kernels price a conv at row-streams x taps x lane TILES, so the
     # 16-channel side outputs pay a full 128-lane tile for 12.5% utility
-    # (~7.5 ms/step fwd+bwd). Both attempted alternatives MEASURED
-    # SLOWER on chip (v5e, 480p batch 5) and are kept as A/B knobs:
-    # 'pallas' (default): both directions on the flat kernels.
-    # 'stacked': Pallas forward + tap-stacked matmul backward
-    #   (flat_side_conv3x3; dgrad+wgrad as two flat matmuls against one
-    #   9-tap-stacked cotangent). The MXU units drop ~9x, but XLA's
-    #   materialization of the shift-concat + 256-lane re-pad costs more
-    #   than the dots saved: 56.9 vs 53.4 ms/step.
+    # (~7.5 ms/step fwd+bwd). Variants, all measured on chip (v5e, 480p
+    # batch 5):
+    # 'stacked' (default): Pallas forward + Pallas tap-stacked backward
+    #   (flat_side_conv3x3 / _side_bwd_kernel): all nine taps stack into
+    #   two 128-lane operands built in-kernel with lane-rolls, so
+    #   dgrad+wgrad run 2+2 row-streams instead of 9+9. 49.5 vs 51.4
+    #   ms/step. (A pure-XLA formulation of the same identity was slower
+    #   than 'pallas' — the stack must be built in-kernel.)
+    # 'pallas': both directions on the plain flat kernels.
     # 'xla': XLA convs over the NHWC view — XLA's conv backward
     #   reintroduces relayout churn: 59.9 vs 57.9 ms/step (pre-prefetch
     #   baseline).
-    flat_side: str = "pallas"  # 'pallas' | 'stacked' | 'xla'
+    flat_side: str = "stacked"  # 'stacked' | 'pallas' | 'xla'
 
 
 @dataclasses.dataclass

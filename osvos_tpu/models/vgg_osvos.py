@@ -313,11 +313,11 @@ class OSVOS(nn.Module):
                                         features=cfg.side_channels,
                                         name=f"side_prep{i}")()
                 if cfg.flat_side == "stacked":
-                    # Pallas forward + tap-stacked matmul backward (~9x
-                    # fewer bwd MXU units) — but MEASURED SLOWER overall
-                    # (56.9 vs 53.4 ms/step): XLA's materialization of
-                    # the stacked cotangent eats the savings. A/B knob;
-                    # see ModelConfig.flat_side / flat_side_conv3x3.
+                    # Pallas forward + Pallas tap-stacked backward: the
+                    # nine taps stack into two 128-lane operands built
+                    # in-kernel, so the side's dgrad+wgrad run 2+2
+                    # row-streams instead of 9+9 (51.4 -> 49.5 ms/step;
+                    # see flat_side_conv3x3 / ModelConfig.flat_side).
                     from osvos_tpu.ops.pallas.flatconv import (
                         flat_side_conv3x3)
 

@@ -931,6 +931,288 @@ flat_conv3x3.defvjp(_fc_fwd, _fc_bwd)
 
 
 # ---------------------------------------------------------------------------
+# tap-stacked side backward kernel: dz + dK + db for narrow-d convs
+# ---------------------------------------------------------------------------
+#
+# A D=16-channel side conv pays the full row-streams x 9 taps x lane-tiles
+# price in each backward pass for 12.5% lane utility. Its cotangent buffer
+# is zero beyond lane D, so all nine taps stack into TWO 128-lane operands
+# built with plain lane-rolls (rolled garbage is zero!):
+#   G01[s, 16t + d] = gf[s - off_t, d]   (taps 0..7)
+#   G2 [s,       d] = gf[s - off_8, d]   (tap 8)
+# and both gradients become 2-stream dots instead of 9:
+#   dz  = G01 @ KS01 + G2 @ KS2          (KS[16t+d, c] = K[kh, kw, c, d])
+#   dK[kh, kw, c, d] = (zf^T @ G01)[c, 16t + d]   (t=8 from G2)
+# The XLA formulation of the same identity was measured SLOWER (it
+# materializes the shift-concat + re-pad as full passes, see
+# flat_side_conv3x3's docstring) — in-kernel the stack build rides the VPU
+# under the dots.
+
+
+def _side_bwd_kernel(g_in: FlatGeom, d: int):
+    wp, t = g_in.wp, g_in.t
+    k_rows = g_in.block_rows
+    xs_rows = _LEAD_ROWS + (t + 2) * wp + 32
+    last = g_in.total_tiles - 1
+    assert 8 * d <= 128 and d % 4 == 0, d
+
+    def kernel(gf_hbm, ks01_ref, ks2_ref, zref, dz_ref, dk01_ref, dk2_ref,
+               db_ref, xs0, xs1, g01, g2, acc, sem):
+        tt = pl.program_id(0)
+        edge = (tt == 0) | (tt == last)
+
+        @pl.when(tt == 0)
+        def _():
+            dk01_ref[...] = jnp.zeros_like(dk01_ref)
+            dk2_ref[...] = jnp.zeros_like(dk2_ref)
+            db_ref[...] = jnp.zeros_like(db_ref)
+
+        @pl.when(edge)
+        def _():
+            dz_ref[...] = jnp.zeros_like(dz_ref)
+
+        def body(xs):
+            # build the stacked operands chunkwise over the tile's own
+            # k_rows: G row (16 + j) at stack slot ``tap`` holds
+            # gf[j + (kh-1)*wp + (kw-1)] — the SAME +off reads as the fwd
+            # taps; the flip that turns them into the dgrad's -off lives
+            # in the weight stack (KS built from the flipped kernel) and
+            # the tap-reversed dK unpack, exactly like the fused kernel's
+            # kflip + inverted indices. The +-1 row reads ride the u32
+            # sublane-pair tricks; lane placement is a roll (zero lanes
+            # beyond d make the rolled values disjoint, so OR merges).
+            n_sh = k_rows // 2
+            ch = _round_up(-(-n_sh // 8), 8)
+            for a in range(8, 8 + n_sh, ch):
+                b = min(a + ch, 8 + n_sh)
+                acc01 = None
+                acc2 = None
+                for tap, (kh, kw) in enumerate(
+                        (kh, kw) for kh in range(3) for kw in range(3)):
+                    base = 2 * (a - 8) + kh * wp
+                    w = pltpu.bitcast(
+                        xs[pl.ds(base, 2 * (b - a) + 18), :], jnp.uint32)
+                    if kw == 2:
+                        v = (w[8:8 + (b - a)] >> 16) | (w[9:9 + (b - a)]
+                                                        << 16)
+                    elif kw == 0:
+                        v = (w[7:7 + (b - a)] >> 16) | (w[8:8 + (b - a)]
+                                                        << 16)
+                    else:
+                        v = w[8:8 + (b - a)]
+                    if tap == 8:
+                        acc2 = v
+                    else:
+                        rolled = pltpu.roll(v, tap * d, axis=1)
+                        acc01 = rolled if acc01 is None else acc01 | rolled
+                g01[pl.ds(2 * a, 2 * (b - a)), :] = pltpu.bitcast(
+                    acc01, jnp.bfloat16)
+                g2[pl.ds(2 * a, 2 * (b - a)), :] = pltpu.bitcast(
+                    acc2, jnp.bfloat16)
+
+            sl = pl.ds(_LEAD_ROWS, k_rows)
+            acc[...] = jax.lax.dot_general(
+                g01[sl, :], ks01_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc[...] += jax.lax.dot_general(
+                g2[sl, :], ks2_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dk01_ref[...] += jax.lax.dot_general(
+                zref[...], g01[sl, :], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dk2_ref[...] += jax.lax.dot_general(
+                zref[...], g2[sl, :], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            db_ref[0:1, :] += jnp.sum(
+                xs[pl.ds(_LEAD_ROWS + wp, k_rows), :].astype(jnp.float32),
+                axis=0, keepdims=True)
+
+            zmask = zref[...].astype(jnp.float32) > 0.0
+            dz_ref[...] = jnp.where(zmask, acc[...],
+                                    0.0).astype(dz_ref.dtype)
+
+        _with_prefetched_xs(gf_hbm, xs0, xs1, sem, tt, t, wp, xs_rows, last,
+                            body)
+
+    return kernel
+
+
+def _flat_side_bwd_impl(zf, gf, kernel, g_in: FlatGeom, interpret: bool):
+    """Tap-stacked backward for a narrow-d flat conv. gf: the flat
+    (rows, 128) cotangent buffer with zeros beyond lane d. Returns
+    (dz (rows, c_pad) bf16, dk (3,3,C,D) f32, db (D,) f32)."""
+    c, c_pad = g_in.c, g_in.c_pad
+    d = kernel.shape[-1]
+    # G slot ``tap`` reads gf at +off_tap, so the dgrad stack holds the
+    # FLIPPED kernel: KS[d*tap + dd, cc] = K[2-kh, 2-kw, cc, dd]
+    kt = kernel.astype(jnp.bfloat16)[::-1, ::-1].transpose(
+        0, 1, 3, 2).reshape(9 * d, c)
+    kt = jnp.pad(kt, ((0, 0), (0, c_pad - c)))
+    ks01 = jnp.pad(kt[:8 * d], ((0, 128 - 8 * d), (0, 0)))
+    ks2 = jnp.pad(kt[8 * d:], ((0, 128 - d), (0, 0)))
+
+    xs_rows = _LEAD_ROWS + (g_in.t + 2) * g_in.wp + 32
+    dz, dk01, dk2, db = pl.pallas_call(
+        _side_bwd_kernel(g_in, d),
+        out_shape=(
+            jax.ShapeDtypeStruct((g_in.rows, c_pad), jnp.bfloat16),
+            jax.ShapeDtypeStruct((c_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((c_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ),
+        grid=(g_in.total_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # gf stays in HBM
+            pl.BlockSpec((128, c_pad), lambda tt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, c_pad), lambda tt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_in.block_rows, c_pad), lambda tt: (tt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((g_in.block_rows, c_pad), lambda tt: (tt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, 128), lambda tt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, 128), lambda tt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda tt: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((xs_rows, 128), jnp.bfloat16),
+            pltpu.VMEM((xs_rows, 128), jnp.bfloat16),
+            pltpu.VMEM((xs_rows, 128), jnp.bfloat16),
+            pltpu.VMEM((xs_rows, 128), jnp.bfloat16),
+            pltpu.VMEM((g_in.block_rows, c_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(gf, ks01, ks2, zf)
+    # G slot tap accumulated sum_s z[s] (x) gf[s + off_tap] = dK[8 - tap]
+    dk9 = jnp.concatenate([dk01[:c, :8 * d], dk2[:c, :d]], axis=1)
+    dk = dk9.reshape(c, 9, d)[:, ::-1, :].transpose(1, 0, 2).reshape(
+        3, 3, c, d)
+    db = db[0, :d]
+    return dz, dk, db
+
+
+def _side_fwd_kernel(g_in: FlatGeom, d: int):
+    """Tap-stacked side FORWARD: one 2-tile dot computes every tap's
+    projection O[u, d*t + dd] = (K_t^T x[u])[dd] over the halo'd input,
+    then side[s] = sum_t O[s + off_t] collapses with rolled +-1-row
+    reads on the VPU — ~2.3 row-streams instead of 9 (the rolled
+    garbage lands outside lanes [0, d) and is masked by the epilogue)."""
+    wp, t = g_in.wp, g_in.t
+    k_rows = g_in.block_rows
+    xs_rows = _LEAD_ROWS + (t + 2) * wp + 32
+    jt, last = g_in.jt, g_in.total_tiles - 1
+    h_ok, w_ok = g_in.h, g_in.w
+    assert 8 * d <= 128 and d % 4 == 0, d
+
+    def kernel(xf_hbm, ks01_ref, ks2_ref, out_ref, xs0, xs1, o01, o2, sem):
+        tt = pl.program_id(0)
+        edge = (tt == 0) | (tt == last)
+
+        @pl.when(edge)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        def body(xs):
+            o01[...] = jax.lax.dot_general(
+                xs[...], ks01_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            o2[...] = jax.lax.dot_general(
+                xs[...], ks2_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+            n_sh = k_rows // 2
+            ch = _round_up(-(-n_sh // 8), 8)
+            for a in range(0, n_sh, ch):
+                b = min(a + ch, n_sh)
+                acc = None
+                for tap, (kh, kw) in enumerate(
+                        (kh, kw) for kh in range(3) for kw in range(3)):
+                    src = o2 if tap == 8 else o01
+                    base = 2 * a + kh * wp
+                    w = pltpu.bitcast(
+                        src[pl.ds(base, 2 * (b - a) + 18), :], jnp.uint32)
+                    if kw == 2:
+                        v = (w[8:8 + (b - a)] >> 16) | (w[9:9 + (b - a)]
+                                                        << 16)
+                    elif kw == 0:
+                        v = (w[7:7 + (b - a)] >> 16) | (w[8:8 + (b - a)]
+                                                        << 16)
+                    else:
+                        v = w[8:8 + (b - a)]
+                    if tap != 8:
+                        v = pltpu.roll(v, (128 - tap * d) % 128, axis=1)
+                    vf = pltpu.bitcast(v, jnp.bfloat16).astype(jnp.float32)
+                    acc = vf if acc is None else acc + vf
+                out_ref[pl.ds(2 * a, 2 * (b - a)), :] = acc.astype(
+                    jnp.bfloat16)
+
+            # mask: pad rows/cols and the garbage lanes >= d stay zero
+            j = (tt - 1) % jt
+            it = jax.lax.broadcasted_iota(jnp.int32, (k_rows, 1), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (k_rows, 128), 1)
+            h_p = j * t + it // wp
+            w_p = it % wp
+            valid = ((h_p >= 2) & (h_p <= h_ok + 1)
+                     & (w_p >= 2) & (w_p <= w_ok + 1) & (lane < d))
+            out_ref[...] = jnp.where(valid, out_ref[...], jnp.bfloat16(0))
+
+        _with_prefetched_xs(xf_hbm, xs0, xs1, sem, tt, t, wp, xs_rows, last,
+                            body)
+
+    return kernel
+
+
+def _flat_side_fwd_impl(zf, kernel, g_in: FlatGeom, interpret: bool):
+    """Tap-stacked side forward; returns the (rows, 128) flat buffer of
+    the d-channel side output (no bias, no output relu)."""
+    c, c_pad = g_in.c, g_in.c_pad
+    d = kernel.shape[-1]
+    # ksT[cc, d*t + dd] = K[kh, kw, cc, dd] (no flip — forward taps)
+    kt = kernel.astype(jnp.bfloat16).reshape(9, c, d).transpose(
+        1, 0, 2).reshape(c, 9 * d)
+    kt = jnp.pad(kt, ((0, c_pad - c), (0, 0)))
+    ks01 = jnp.pad(kt[:, :8 * d], ((0, 0), (0, 128 - 8 * d)))
+    ks2 = jnp.pad(kt[:, 8 * d:], ((0, 0), (0, 128 - d)))
+
+    xs_rows = _LEAD_ROWS + (g_in.t + 2) * g_in.wp + 32
+    g_out = dataclasses.replace(g_in, c=d)
+    out = pl.pallas_call(
+        _side_fwd_kernel(g_in, d),
+        out_shape=jax.ShapeDtypeStruct((g_out.rows, 128), jnp.bfloat16),
+        grid=(g_in.total_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # zf stays in HBM
+            pl.BlockSpec((c_pad, 128), lambda tt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, 128), lambda tt: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g_in.block_rows, 128), lambda tt: (tt, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16),
+            pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16),
+            pltpu.VMEM((xs_rows, 128), jnp.bfloat16),
+            pltpu.VMEM((xs_rows, 128), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(zf, ks01, ks2)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # side_prep conv: flat input -> NHWC 16-channel output, tap-stacked bwd
 # ---------------------------------------------------------------------------
 
@@ -952,18 +1234,19 @@ def flat_side_conv3x3(zf, kernel, g_in: FlatGeom, interpret: bool = False):
         dz = G @ KT,        KT[D*t + d, c] = K[kh, kw, c, d]
         dK[kh, kw, c, d] = (zf^T @ G)[c, D*t + d]
 
-    (row-stream units drop ~9x -> 2x per pass). G's pad rows are zero by
-    construction, so dz keeps the flat zero-pad invariant with no mask.
+    (row-stream units drop ~9x -> ~2x per pass). The stack is built
+    INSIDE the kernel (_side_bwd_kernel): the gf buffer is zero beyond
+    lane D, so each tap's lane-roll lands in a disjoint window and the
+    stack is an OR of rolled values riding the VPU under the dots. (A
+    first, pure-XLA formulation of the same identity was measured SLOWER
+    than the plain flat kernels — 56.9 vs 53.4 ms/step — because XLA
+    materialized the shift-concat and the re-pad as full passes; the
+    in-kernel build is what makes the trick pay.)
 
-    MEASURED SLOWER end-to-end than the plain flat-kernel side backward
-    (56.9 vs 53.4 ms/step, v5e 480p batch 5): XLA materializes the
-    9-slice shift-concat and the 256-lane to_flat re-pad as full passes,
-    costing more than the MXU units saved. Kept as an A/B knob
-    (ModelConfig.flat_side='stacked') and as the recorded negative
-    result; a Pallas G-builder could revisit it."""
-    sf = _flat_conv_fwd_impl(zf, kernel, jnp.zeros((kernel.shape[-1],),
-                                                   jnp.float32),
-                             g_in, kernel.shape[-1], False, interpret)
+    The FORWARD is tap-stacked too (_side_fwd_kernel): one 2-tile dot
+    projects every tap and the 9-term collapse is rolled VPU reads —
+    again ~2.3 row-streams instead of 9."""
+    sf = _flat_side_fwd_impl(zf, kernel, g_in, interpret)
     return from_flat(sf, dataclasses.replace(g_in, c=kernel.shape[-1]))
 
 
@@ -973,25 +1256,12 @@ def _fsc_fwd(zf, kernel, g_in, interpret):
 
 def _fsc_bwd(g_in: FlatGeom, interpret, res, gf):
     zf, kernel = res
-    c, dd = kernel.shape[2], kernel.shape[3]
-    gf = gf.astype(jnp.bfloat16)
-    n, h, w = g_in.n, g_in.h, g_in.w
-    # G[y, x, D*t + d] = gf[y - (kh-1), x - (kw-1), d], zero outside
-    gp = jnp.pad(gf, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    taps = [gp[:, 2 - kh:2 - kh + h, 2 - kw:2 - kw + w, :]
-            for kh in range(3) for kw in range(3)]
-    g_geom = dataclasses.replace(g_in, c=9 * dd)
-    G = to_flat(jnp.concatenate(taps, axis=-1), g_geom)
-
-    kt = kernel.astype(jnp.bfloat16).transpose(0, 1, 3, 2).reshape(9 * dd,
-                                                                   c)
-    kt = jnp.pad(kt, ((0, g_geom.c_pad - 9 * dd), (0, g_in.c_pad - c)))
-    dz = jax.lax.dot_general(G, kt, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dks = jax.lax.dot_general(zf, G, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dk = dks[:c, :9 * dd].reshape(c, 3, 3, dd).transpose(1, 2, 0, 3)
-    return dz.astype(zf.dtype), dk.astype(kernel.dtype)
+    # NHWC cotangent -> flat buffer (zero lanes beyond D — load-bearing
+    # for the stacked kernel's roll-merge), then the tap-stacked kernel
+    gf_flat = to_flat(gf.astype(jnp.bfloat16),
+                      dataclasses.replace(g_in, c=kernel.shape[-1]))
+    dz, dk, _ = _flat_side_bwd_impl(zf, gf_flat, kernel, g_in, interpret)
+    return dz, dk.astype(kernel.dtype)
 
 
 flat_side_conv3x3.defvjp(_fsc_fwd, _fsc_bwd)

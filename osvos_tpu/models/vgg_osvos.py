@@ -296,17 +296,23 @@ class OSVOS(nn.Module):
         side_feats: List[jnp.ndarray] = []
         side_logits: List[jnp.ndarray] = []
         fused_contribs: List[jnp.ndarray] = []
+        flat_pooled = None  # (buffer, geom) carried from a fused side+pool
         for i, widths in enumerate(cfg.stages[1:], start=1):
             if flat:
                 from osvos_tpu.ops.pallas.flatpool import (pool_flat_p,
-                                                           pool_packed_p)
+                                                           pool_packed_p,
+                                                           side_and_pool)
 
-                g2 = pool_out_geom(g, stage_t(-(-g.h // 2)))
-                if i == 1 and packed:
-                    zf = pool_packed_p(zf, gp, g2, interp)
+                if flat_pooled is not None:
+                    zf, g = flat_pooled
+                    flat_pooled = None
                 else:
-                    zf = pool_flat_p(zf, g, g2, interp)
-                g = g2
+                    g2 = pool_out_geom(g, stage_t(-(-g.h // 2)))
+                    if i == 1 and packed:
+                        zf = pool_packed_p(zf, gp, g2, interp)
+                    else:
+                        zf = pool_flat_p(zf, g, g2, interp)
+                    g = g2
                 zf, g = self._flat_convs(zf, g, widths, f"stage{i + 1}", 0,
                                          interp)
                 ks, bs = _ConvParams3x3(in_features=g.c,
@@ -321,7 +327,17 @@ class OSVOS(nn.Module):
                     from osvos_tpu.ops.pallas.flatconv import (
                         flat_side_conv3x3)
 
-                    side_temp = flat_side_conv3x3(zf, ks, g, interp)
+                    if i < len(cfg.stages) - 1:
+                        # fuse this stage's side with the NEXT stage's
+                        # pool: the backward's dz_side + dz_pool merge
+                        # rides the side kernel's epilogue instead of a
+                        # full-buffer add (see flatpool.side_and_pool)
+                        g2 = pool_out_geom(g, stage_t(-(-g.h // 2)))
+                        side_temp, zp = side_and_pool(zf, ks, g, g2,
+                                                      interp)
+                        flat_pooled = (zp, g2)
+                    else:
+                        side_temp = flat_side_conv3x3(zf, ks, g, interp)
                 elif cfg.flat_side == "xla":
                     # The flat kernels price a conv at row-streams x taps x
                     # lane TILES — a 16-channel side output pays a full

@@ -949,15 +949,24 @@ flat_conv3x3.defvjp(_fc_fwd, _fc_bwd)
 # under the dots.
 
 
-def _side_bwd_kernel(g_in: FlatGeom, d: int):
+def _side_bwd_kernel(g_in: FlatGeom, d: int, with_extra: bool = False):
     wp, t = g_in.wp, g_in.t
     k_rows = g_in.block_rows
     xs_rows = _LEAD_ROWS + (t + 2) * wp + 32
     last = g_in.total_tiles - 1
     assert 8 * d <= 128 and d % 4 == 0, d
 
-    def kernel(gf_hbm, ks01_ref, ks2_ref, zref, dz_ref, dk01_ref, dk2_ref,
-               db_ref, xs0, xs1, g01, g2, acc, sem):
+    def kernel(gf_hbm, ks01_ref, ks2_ref, zref, *rest):
+        if with_extra:
+            # pre-merged second cotangent (the pool-backward's dz): the
+            # stage-boundary dz_side + dz_pool add rides this kernel's
+            # epilogue instead of a separate full-buffer XLA add
+            (extra_ref, dz_ref, dk01_ref, dk2_ref, db_ref,
+             xs0, xs1, g01, g2, acc, sem) = rest
+        else:
+            extra_ref = None
+            (dz_ref, dk01_ref, dk2_ref, db_ref,
+             xs0, xs1, g01, g2, acc, sem) = rest
         tt = pl.program_id(0)
         edge = (tt == 0) | (tt == last)
 
@@ -1028,8 +1037,10 @@ def _side_bwd_kernel(g_in: FlatGeom, d: int):
                 axis=0, keepdims=True)
 
             zmask = zref[...].astype(jnp.float32) > 0.0
-            dz_ref[...] = jnp.where(zmask, acc[...],
-                                    0.0).astype(dz_ref.dtype)
+            dz = jnp.where(zmask, acc[...], 0.0)
+            if with_extra:
+                dz = dz + extra_ref[...].astype(jnp.float32)
+            dz_ref[...] = dz.astype(dz_ref.dtype)
 
         _with_prefetched_xs(gf_hbm, xs0, xs1, sem, tt, t, wp, xs_rows, last,
                             body)
@@ -1037,10 +1048,13 @@ def _side_bwd_kernel(g_in: FlatGeom, d: int):
     return kernel
 
 
-def _flat_side_bwd_impl(zf, gf, kernel, g_in: FlatGeom, interpret: bool):
+def _flat_side_bwd_impl(zf, gf, kernel, g_in: FlatGeom, interpret: bool,
+                        extra=None):
     """Tap-stacked backward for a narrow-d flat conv. gf: the flat
-    (rows, 128) cotangent buffer with zeros beyond lane d. Returns
-    (dz (rows, c_pad) bf16, dk (3,3,C,D) f32, db (D,) f32)."""
+    (rows, 128) cotangent buffer with zeros beyond lane d. ``extra``:
+    optional second dz contribution (same flat geometry) summed into the
+    output in the epilogue. Returns (dz (rows, c_pad) bf16,
+    dk (3,3,C,D) f32, db (D,) f32)."""
     c, c_pad = g_in.c, g_in.c_pad
     d = kernel.shape[-1]
     # G slot ``tap`` reads gf at +off_tap, so the dgrad stack holds the
@@ -1052,8 +1066,23 @@ def _flat_side_bwd_impl(zf, gf, kernel, g_in: FlatGeom, interpret: bool):
     ks2 = jnp.pad(kt[8 * d:], ((0, 128 - d), (0, 0)))
 
     xs_rows = _LEAD_ROWS + (g_in.t + 2) * g_in.wp + 32
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # gf stays in HBM
+        pl.BlockSpec((128, c_pad), lambda tt: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((128, c_pad), lambda tt: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g_in.block_rows, c_pad), lambda tt: (tt, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [gf, ks01, ks2, zf]
+    if extra is not None:
+        in_specs.append(pl.BlockSpec((g_in.block_rows, c_pad),
+                                     lambda tt: (tt, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(extra)
     dz, dk01, dk2, db = pl.pallas_call(
-        _side_bwd_kernel(g_in, d),
+        _side_bwd_kernel(g_in, d, with_extra=extra is not None),
         out_shape=(
             jax.ShapeDtypeStruct((g_in.rows, c_pad), jnp.bfloat16),
             jax.ShapeDtypeStruct((c_pad, 128), jnp.float32),
@@ -1061,15 +1090,7 @@ def _flat_side_bwd_impl(zf, gf, kernel, g_in: FlatGeom, interpret: bool):
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
         ),
         grid=(g_in.total_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # gf stays in HBM
-            pl.BlockSpec((128, c_pad), lambda tt: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, c_pad), lambda tt: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g_in.block_rows, c_pad), lambda tt: (tt, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((g_in.block_rows, c_pad), lambda tt: (tt, 0),
                          memory_space=pltpu.VMEM),
@@ -1091,7 +1112,7 @@ def _flat_side_bwd_impl(zf, gf, kernel, g_in: FlatGeom, interpret: bool):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
-    )(gf, ks01, ks2, zf)
+    )(*operands)
     # G slot tap accumulated sum_s z[s] (x) gf[s + off_tap] = dK[8 - tap]
     dk9 = jnp.concatenate([dk01[:c, :8 * d], dk2[:c, :d]], axis=1)
     dk = dk9.reshape(c, 9, d)[:, ::-1, :].transpose(1, 0, 2).reshape(

@@ -658,3 +658,52 @@ def _pfp_bwd(g_in, g_out, interpret, res, gf_out):
 
 
 pool_flat_p.defvjp(_pfp_fwd, _pfp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def side_and_pool(zf, side_kernel, g_in: FlatGeom, g_out: FlatGeom,
+                  interpret: bool = False):
+    """(side_temp NHWC, pooled flat buffer) from one stage output.
+
+    The two consumers of a stage's last activation are the side_prep conv
+    and the 2x2 pool; fused here so the BACKWARD's stage-boundary merge
+    ``dz = dz_side + dz_pool`` rides the side kernel's epilogue (one
+    streamed add) instead of a separate full-buffer XLA add_any
+    (~0.7 ms/step across the three fused boundaries at 480p batch 5).
+    Used by the flat trunk for stages 2-4 (stage 5 has no pool, stage 1
+    no side); equals the unfused pair exactly."""
+    import dataclasses as dc
+
+    from osvos_tpu.ops.pallas.flatconv import (_flat_side_fwd_impl,
+                                               from_flat)
+
+    pooled = pool_flat_fwd_pallas(zf, g_in, g_out, interpret)
+    sf = _flat_side_fwd_impl(zf, side_kernel, g_in, interpret)
+    side = from_flat(sf, dc.replace(g_in, c=side_kernel.shape[-1]))
+    return side, pooled
+
+
+def _sap_fwd(zf, side_kernel, g_in, g_out, interpret):
+    side, pooled = side_and_pool(zf, side_kernel, g_in, g_out, interpret)
+    return (side, pooled), (zf, side_kernel, pooled)
+
+
+def _sap_bwd(g_in: FlatGeom, g_out: FlatGeom, interpret, res, cts):
+    import dataclasses as dc
+
+    from osvos_tpu.ops.pallas.flatconv import (_flat_side_bwd_impl,
+                                               to_flat)
+
+    zf, side_kernel, pooled = res
+    d_side, d_pooled = cts
+    dz_pool = pool_flat_bwd_pallas(zf, pooled,
+                                   d_pooled.astype(jnp.bfloat16),
+                                   g_in, g_out, interpret)
+    gf_flat = to_flat(d_side.astype(jnp.bfloat16),
+                      dc.replace(g_in, c=side_kernel.shape[-1]))
+    dz, dk, _ = _flat_side_bwd_impl(zf, gf_flat, side_kernel, g_in,
+                                    interpret, extra=dz_pool)
+    return dz, dk.astype(side_kernel.dtype)
+
+
+side_and_pool.defvjp(_sap_fwd, _sap_bwd)

@@ -24,9 +24,10 @@ ops/pool.py's torch-oracle-tested ``_mp_bwd``), and writes the routed
 cotangent.
 
 Reference semantics: ``MaxPool2d(2, stride=2, ceil_mode=True)``
-(networks/vgg_osvos.py:~120) on pre-activation values — max commutes with
-the consumers' ReLU, see flatconv.py. Tested against pool_flat (the XLA
-twin) in tests/test_flat.py.
+(networks/vgg_osvos.py:~120). The kernels are value-agnostic; the
+production flat trunk stores POST-relu activations (see flatconv.py), so
+they pool exactly what the reference's MaxPool sees. Tested against
+pool_flat (the XLA twin) in tests/test_flat.py.
 """
 
 from __future__ import annotations

@@ -468,3 +468,95 @@ def test_flat_conv_postrelu_mode_matches_twin(rng, geom_tuple):
         scale = np.abs(np.asarray(bb)).max() + 1e-6
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    atol=3e-2 * scale)
+
+
+@pytest.mark.parametrize("geom_tuple", [
+    (2, 6, 10, 8, 8, 4),      # generic small
+    (1, 9, 27, 16, 8, 8),     # odd w, wider-than-one-tile wp
+    (1, 4, 6, 130, 4, 4),     # c > 128: multi-lane-tile contraction
+])
+def test_side_conv_tap_stacked_matches_twin(rng, geom_tuple):
+    """flat_side_conv3x3 (tap-stacked fwd + bwd kernels) vs the XLA twin:
+    values and all gradients, including the consumer-side relu mask on
+    dz (the input buffer is post-relu)."""
+    from osvos_tpu.ops.pallas.flatconv import flat_side_conv3x3
+
+    n, h, w, c, d, t = geom_tuple
+    g = FlatGeom(n=n, h=h, w=w, c=c, t=t)
+    x = jnp.maximum(jnp.asarray(rng.randn(n, h, w, c).astype(np.float32)),
+                    0)
+    zf = to_flat(x, g)
+    k = jnp.asarray(0.1 * rng.randn(3, 3, c, d).astype(np.float32))
+    r = jnp.asarray(rng.randn(n, h, w, d).astype(np.float32))
+
+    def loss_pallas(zf, k):
+        return jnp.sum(flat_side_conv3x3(zf, k, g, True).astype(
+            jnp.float32) * r)
+
+    def loss_ref(zf, k):
+        out = flat_conv3x3_ref(zf, k, jnp.zeros((d,), jnp.float32), g,
+                               relu_input=False)
+        return jnp.sum(from_flat(
+            out, FlatGeom(n=n, h=h, w=w, c=d, t=t)).astype(jnp.float32)
+            * r)
+
+    # values: the stacked fwd rounds each tap's projection to bf16 before
+    # the 9-term collapse, so compare elementwise at a bf16-scale atol
+    out_p = np.asarray(flat_side_conv3x3(zf, k, g, True), np.float32)
+    out_r = np.asarray(from_flat(
+        flat_conv3x3_ref(zf, k, jnp.zeros((d,), jnp.float32), g,
+                         relu_input=False),
+        FlatGeom(n=n, h=h, w=w, c=d, t=t)), np.float32)
+    scale = np.abs(out_r).max() + 1e-6
+    np.testing.assert_allclose(out_p, out_r, atol=3e-2 * scale)
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(zf, k)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(zf, k)
+    # the twin's dz has no relu mask; apply it (zf holds post-relu acts)
+    gz_ref = jnp.where(zf > 0, gr[0], 0).astype(jnp.float32)
+    scale_z = np.abs(np.asarray(gz_ref)).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(gp[0], np.float32),
+                               np.asarray(gz_ref), atol=3e-2 * scale_z)
+    scale_k = np.abs(np.asarray(gr[1])).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gr[1]),
+                               atol=3e-2 * scale_k)
+
+
+def test_side_and_pool_equals_unfused(rng):
+    """The fused (side_temp, pooled) composite must equal the separate
+    flat_side_conv3x3 + pool_flat_p pair, values AND gradients (the
+    backward fuses the stage-boundary dz merge)."""
+    from osvos_tpu.ops.pallas.flatconv import flat_side_conv3x3
+    from osvos_tpu.ops.pallas.flatpool import pool_flat_p, side_and_pool
+
+    n, h, w, c, d = 2, 10, 14, 8, 8
+    g = FlatGeom(n=n, h=h, w=w, c=c, t=4)
+    g2 = FlatGeom(n=n, h=-(-h // 2), w=-(-w // 2), c=c, t=4)
+    x = jnp.maximum(jnp.asarray(rng.randn(n, h, w, c).astype(np.float32)),
+                    0)
+    zf = to_flat(x, g)
+    k = jnp.asarray(0.1 * rng.randn(3, 3, c, d).astype(np.float32))
+    r1 = jnp.asarray(rng.randn(n, h, w, d).astype(np.float32))
+    r2 = jnp.asarray(rng.randn(g2.rows, g2.c_pad).astype(np.float32))
+
+    def loss_fused(zf, k):
+        side, pooled = side_and_pool(zf, k, g, g2, True)
+        return (jnp.sum(side.astype(jnp.float32) * r1)
+                + jnp.sum(pooled.astype(jnp.float32) * r2))
+
+    def loss_sep(zf, k):
+        side = flat_side_conv3x3(zf, k, g, True)
+        pooled = pool_flat_p(zf, g, g2, True)
+        return (jnp.sum(side.astype(jnp.float32) * r1)
+                + jnp.sum(pooled.astype(jnp.float32) * r2))
+
+    lf, gf = jax.value_and_grad(loss_fused, argnums=(0, 1))(zf, k)
+    ls, gs = jax.value_and_grad(loss_sep, argnums=(0, 1))(zf, k)
+    # forward values are identical; dz differs only by rounding order
+    # (the fused kernel adds dz_pool in f32 BEFORE the single bf16 round,
+    # the unfused pair rounds each term then adds in bf16)
+    assert abs(float(lf) - float(ls)) <= 1e-5 * (abs(float(ls)) + 1)
+    for a, b in zip(gf, gs):
+        scale = np.abs(np.asarray(b)).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=1e-2 * scale)

@@ -949,6 +949,104 @@ flat_conv3x3.defvjp(_fc_fwd, _fc_bwd)
 # under the dots.
 
 
+def _stem_wgrad_kernel(g_in: FlatGeom, width: int):
+    """Tap-stacked STEM weight gradient: the packed image buffer has only
+    ``width`` = 2*_half_pad(3) = 8 real lanes, so all nine taps fit in ONE
+    128-lane stacked operand X[s, width*t + c] = img[s + off_t, c] (built
+    with lane-rolls; zero lanes beyond width make the rolled values
+    disjoint) and dKp for every tap is one rows-contraction dot
+    dK[width*t + c, dd] = sum_s X[s, ...] gf[s, dd] — 1 MXU stream per
+    tile instead of the merged kernel's 6. No input ReLU (it is the
+    image), no dz (images are never differentiated)."""
+    wp, t = g_in.wp, g_in.t
+    k_rows = g_in.block_rows
+    xs_rows = _LEAD_ROWS + (t + 2) * wp + 32
+    last = g_in.total_tiles - 1
+    assert 9 * width <= 128, width
+
+    def kernel(zf_hbm, g_ref, dk_ref, db_ref, xs0, xs1, stk, sem):
+        tt = pl.program_id(1)
+
+        @pl.when(tt == 0)
+        def _():
+            dk_ref[...] = jnp.zeros_like(dk_ref)
+            db_ref[...] = jnp.zeros_like(db_ref)
+
+        def body(xs):
+            n_sh = k_rows // 2
+            ch = _round_up(-(-n_sh // 8), 8)
+            for a in range(8, 8 + n_sh, ch):
+                b = min(a + ch, 8 + n_sh)
+                acc = None
+                for tap, (kh, kw) in enumerate(
+                        (kh, kw) for kh in range(3) for kw in range(3)):
+                    base = 2 * (a - 8) + kh * wp
+                    w = pltpu.bitcast(
+                        xs[pl.ds(base, 2 * (b - a) + 18), :], jnp.uint32)
+                    if kw == 2:
+                        v = (w[8:8 + (b - a)] >> 16) | (w[9:9 + (b - a)]
+                                                        << 16)
+                    elif kw == 0:
+                        v = (w[7:7 + (b - a)] >> 16) | (w[8:8 + (b - a)]
+                                                        << 16)
+                    else:
+                        v = w[8:8 + (b - a)]
+                    if tap:
+                        v = pltpu.roll(v, tap * width, axis=1)
+                    acc = v if acc is None else acc | v
+                stk[pl.ds(2 * a, 2 * (b - a)), :] = pltpu.bitcast(
+                    acc, jnp.bfloat16)
+
+            dk_ref[...] += jax.lax.dot_general(
+                stk[pl.ds(_LEAD_ROWS, k_rows), :], g_ref[...],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            db_ref[0:1, :] += jnp.sum(g_ref[...].astype(jnp.float32),
+                                      axis=0, keepdims=True)
+
+        _with_prefetched_xs(zf_hbm, xs0, xs1, sem, tt, t, wp, xs_rows,
+                            last, body)
+
+    return kernel
+
+
+def _stem_wgrad_stacked_impl(zfp, gf, g_in: FlatGeom, d_pad: int,
+                             width: int, interpret: bool):
+    """Returns (dk_stack (128, d_pad) f32 — rows width*t + c hold the
+    packed tap matrices, decode via reshape + unpack_dk — and
+    db (8, d_pad) f32)."""
+    xs_rows = _LEAD_ROWS + (g_in.t + 2) * g_in.wp + 32
+    dk, db = pl.pallas_call(
+        _stem_wgrad_kernel(g_in, width),
+        out_shape=(
+            jax.ShapeDtypeStruct((128, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((8, d_pad), jnp.float32),
+        ),
+        grid=(1, g_in.total_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # packed image, HBM
+            pl.BlockSpec((g_in.block_rows, d_pad), lambda di, tt: (tt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((128, d_pad), lambda di, tt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d_pad), lambda di, tt: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((xs_rows, g_in.c_pad), jnp.bfloat16),
+            pltpu.VMEM((xs_rows, g_in.c_pad), jnp.bfloat16),
+            pltpu.VMEM((xs_rows, 128), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(zfp, gf)
+    return dk, db
+
+
 def _side_bwd_kernel(g_in: FlatGeom, d: int, with_extra: bool = False):
     wp, t = g_in.wp, g_in.t
     k_rows = g_in.block_rows
@@ -1553,6 +1651,10 @@ def unpack_dk(dkp: jnp.ndarray, ci: int, co: int) -> jnp.ndarray:
 
 _USE_MERGED_TAPS = True  # 6-dot cross-pair merge for packed convs (A/B)
 
+# Tap-stacked stem wgrad (one dot per tile): measured a small LOSS vs the
+# merged 6-dot kernel — the stack build has nothing to overlap with.
+_USE_STACKED_STEM_WGRAD = False
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flat_conv3x3_packed(zfp, kernel, bias, gp: FlatGeom,
@@ -1626,11 +1728,25 @@ def _fcip_bwd(gp, interpret, relu_output, res, gf):
     hi, ho = _half_pad(ci), _half_pad(co)
     gi = dataclasses.replace(gp, c=2 * hi)
     gf = gf.astype(jnp.bfloat16)
-    merged = hi if _USE_MERGED_TAPS else 0
-    dkp, dbp = _flat_conv_wgrad_impl(zfp, gf, gi, 2 * ho, False, interpret,
-                                     merged=merged)
-    dk = (unpack_dk_merged_rows(dkp, ci, co, hi, ho) if merged
-          else unpack_dk(dkp, ci, co))
+    width = 2 * hi
+    if _USE_STACKED_STEM_WGRAD and 9 * width <= 128:
+        # the packed image is narrow enough to tap-STACK (one dot per
+        # tile, _stem_wgrad_kernel) — but MEASURED a small LOSS (48.8 vs
+        # 48.2 ms/step): with a single dot left, the 9-pass stack build
+        # has no MXU work to hide under, unlike the side kernels where
+        # it rides beneath 2-tile dots. Kept as an A/B knob.
+        dks, dbp = _stem_wgrad_stacked_impl(zfp, gf, gi,
+                                            _lane_pad(2 * ho), width,
+                                            interpret)
+        dkp = dks[:9 * width].reshape(3, 3, width, -1)
+        dk = unpack_dk(dkp, ci, co)
+        dbp = dbp[0]
+    else:
+        merged = hi if _USE_MERGED_TAPS else 0
+        dkp, dbp = _flat_conv_wgrad_impl(zfp, gf, gi, 2 * ho, False,
+                                         interpret, merged=merged)
+        dk = (unpack_dk_merged_rows(dkp, ci, co, hi, ho) if merged
+              else unpack_dk(dkp, ci, co))
     db = (dbp[:co] + dbp[ho:ho + co]).astype(jnp.float32)
     return jnp.zeros_like(zfp), dk.astype(kernel.dtype), db
 

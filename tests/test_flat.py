@@ -560,3 +560,34 @@ def test_side_and_pool_equals_unfused(rng):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    atol=1e-2 * scale)
+
+
+def test_stacked_stem_wgrad_matches_merged(rng):
+    """The tap-stacked stem wgrad (A/B knob; measured slightly slower on
+    chip but kept) must equal the merged kernel exactly."""
+    import dataclasses as dc
+
+    from osvos_tpu.ops.pallas import flatconv as fc
+
+    x = rng.randn(2, 12, 20, 3).astype(np.float32)
+    g0 = FlatGeom(n=2, h=12, w=20, c=3, t=8)
+    gp = fc.packed_geom(g0)
+    zfp = fc.pack_image(jnp.asarray(x), gp)
+    k0 = jnp.asarray(0.1 * rng.randn(3, 3, 3, 16).astype(np.float32))
+    b0 = jnp.asarray(0.1 * rng.randn(16).astype(np.float32))
+    del dc
+
+    def f(k0, b0):
+        z1 = fc.flat_conv3x3_input_packed(zfp, k0, b0, gp, True, True)
+        return jnp.sum(z1.astype(jnp.float32) ** 2)
+
+    saved = fc._USE_STACKED_STEM_WGRAD
+    try:
+        fc._USE_STACKED_STEM_WGRAD = True
+        ga = jax.grad(f, argnums=(0, 1))(k0, b0)
+        fc._USE_STACKED_STEM_WGRAD = False
+        gb = jax.grad(f, argnums=(0, 1))(k0, b0)
+    finally:
+        fc._USE_STACKED_STEM_WGRAD = saved
+    for a, b in zip(ga, gb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -129,7 +129,11 @@ class FlatGeom:
 def stage_t(h: int) -> int:
     """Block rows per stage resolution: sized to the ~13 MB VMEM budget at
     full res, and to the hp rounding waste at tiny res (stage 5's h=30
-    pads to hp=48 under t=16 — 41% dead row-streams; t=8 gives 40)."""
+    pads to hp=48 under t=16 — 41% dead row-streams; t=8 gives 40).
+    t=32 for the mid stages was measured SLOWER (49.1 vs 48.2 ms/step)
+    despite identical hp — halving the tile count coarsens the DMA
+    double-buffering and VMEM pressure more than it saves in per-tile
+    overhead."""
     if h >= 480 or h + 4 <= 40:
         return 8
     return 16

@@ -213,6 +213,8 @@ def pool_flat_fwd_pallas(zf, g_in: FlatGeom, g_out: FlatGeom,
             pltpu.VMEM((g_out.block_rows, g_out.c_pad), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(zf)
 
@@ -350,6 +352,8 @@ def pool_flat_bwd_pallas(zin, zout, gout, g_in: FlatGeom, g_out: FlatGeom,
             pltpu.VMEM((w2_rows, g_out.c_pad), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(zout, gout, zin)
 
@@ -474,6 +478,8 @@ def pool_packed_fwd_pallas(zfp, gp: FlatGeom, g_out: FlatGeom,
             pltpu.VMEM((g_out.block_rows, g_out.c_pad), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(zfp)
 
@@ -605,6 +611,8 @@ def pool_packed_bwd_pallas(zin, zout, gout, gp: FlatGeom, g_out: FlatGeom,
             pltpu.VMEM((w2_rows, g_out.c_pad), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(zout, gout, zin)
 

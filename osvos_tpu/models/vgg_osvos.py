@@ -368,8 +368,17 @@ class OSVOS(nn.Module):
             if not flat:
                 side_temp = conv(cfg.side_channels, 3, f"side_prep{i}")(x)
 
-            if mode in ("infer", "infer_parts"):
-                # collapse to the fused channel at low res, then upsample
+            # the fused head collapses each side branch to ONE channel
+            # BEFORE upsampling (the frozen bilinear up is channel-diagonal
+            # and fuse is 1x1, so they commute — tested equal to the
+            # concat form). Train mode uses it too except under 'parity',
+            # which keeps the reference-shaped concat graph for the
+            # f64-oracle tests: the collapse cuts full-res HBM traffic
+            # ~16x and drops the 64-ch f32 concat from the parent step
+            # (116.5 -> measured anew in bench extra_metrics).
+            collapse_fuse = (mode in ("infer", "infer_parts")
+                             or cfg.compute_mode != "parity")
+            if collapse_fuse:
                 sl = slice((i - 1) * cfg.side_channels, i * cfg.side_channels)
                 w_i = fuse_kernel[0, 0, sl, :].astype(jnp.float32)
                 contrib = side_temp.astype(jnp.float32) @ w_i
@@ -379,13 +388,14 @@ class OSVOS(nn.Module):
                     fused_contribs.append(center_crop(
                         bilinear_upsample(contrib, factor, precision=f32_prec,
                                           method=up_method), crop_h, crop_w))
-                continue
-
-            # 16-ch full-res feature for fusion
-            feat = center_crop(
-                bilinear_upsample(side_temp, factor, precision=prec,
-                                  method=up_method), crop_h, crop_w)
-            side_feats.append(feat)
+                if mode in ("infer", "infer_parts"):
+                    continue
+            else:
+                # 16-ch full-res feature for fusion (parity train graph)
+                feat = center_crop(
+                    bilinear_upsample(side_temp, factor, precision=prec,
+                                      method=up_method), crop_h, crop_w)
+                side_feats.append(feat)
             # 1-ch logit side output (score_dsn accumulates in f32)
             score = nn.Conv(1, (1, 1), dtype=jnp.float32,
                             param_dtype=jnp.float32, precision=f32_prec,
@@ -402,11 +412,16 @@ class OSVOS(nn.Module):
             out = sum(fused_contribs) + fuse_bias
             return [out.astype(jnp.float32)]
 
-        fused_in = jnp.concatenate(side_feats, axis=-1).astype(jnp.float32)
-        out = lax.conv_general_dilated(
-            fused_in, fuse_kernel, (1, 1), ((0, 0), (0, 0)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=f32_prec) + fuse_bias
+        if side_feats:
+            # parity: the reference-shaped concat + 1x1 fuse graph
+            fused_in = jnp.concatenate(side_feats,
+                                       axis=-1).astype(jnp.float32)
+            out = lax.conv_general_dilated(
+                fused_in, fuse_kernel, (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=f32_prec) + fuse_bias
+        else:
+            out = sum(fused_contribs) + fuse_bias
         return [o.astype(jnp.float32) for o in side_logits] + [out]
 
 

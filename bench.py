@@ -54,8 +54,14 @@ def main() -> None:
     ap.add_argument("--train_mode", default=None,
                     help="compute mode for the fine-tune benches "
                          "(default: env OSVOS_BENCH_TRAIN_MODE or 'flat')")
-    ap.add_argument("--steps_ft", type=int, default=15,
-                    help="optimizer steps per timed fine-tune dispatch")
+    ap.add_argument("--steps_ft", type=int, default=None,
+                    help="optimizer steps per timed fine-tune dispatch "
+                         "(default: OnlineConfig.scan_chunk — the "
+                         "PRODUCTION dispatch size, so the per-step time "
+                         "amortizes the per-dispatch overhead exactly as "
+                         "the real 2000-step protocol does; rounds 1-2 "
+                         "used 15, which over-charged each step ~12x its "
+                         "production share of dispatch cost)")
     ap.add_argument("--skip_ft", action="store_true",
                     help="inference metric only (skip fine-tune benches)")
     ap.add_argument("--skip_parent", action="store_true",
@@ -188,7 +194,7 @@ def _bench_finetune(args) -> dict:
         mcfg = ModelConfig(compute_mode=mode)
         height, width, pool = args.height, args.width, 50
     ocfg = OnlineConfig()
-    steps = args.steps_ft
+    steps = args.steps_ft or (8 if args.tiny else ocfg.scan_chunk)
 
     params = init_osvos_params(jax.random.PRNGKey(0), mcfg,
                                input_hw=(64, 112))

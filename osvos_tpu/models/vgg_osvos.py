@@ -252,12 +252,14 @@ class OSVOS(nn.Module):
         # pools post-relu values exactly like the 'fast' path). The
         # only NHWC materializations are the tiny 16-channel side_temps.
         flat = cfg.compute_mode == "flat"
+        flat_pooled = None  # (buffer, geom) carried from a fused conv/side+pool
         if flat:
             from osvos_tpu.ops.pallas.flatconv import (
                 FlatGeom, _half_pad, flat_conv3x3, flat_conv3x3_input,
                 flat_conv3x3_input_packed, flat_conv3x3_packed, from_flat,
                 pack_image, packed_geom, pool_flat, pool_out_geom,
                 stage_t, to_flat)
+            from osvos_tpu.ops.pallas import flatpool as _fp
 
             interp = jax.default_backend() != "tpu"
             n, hh, ww = x.shape[0], x.shape[1], x.shape[2]
@@ -276,13 +278,25 @@ class OSVOS(nn.Module):
                 gp = dataclasses.replace(
                     gp, c=2 * _half_pad(cfg.stages[0][0]))
                 g = dataclasses.replace(g, c=cfg.stages[0][0])
-                for j, width in enumerate(cfg.stages[0][1:], start=1):
+                s1 = cfg.stages[0]
+                for j, width in enumerate(s1[1:], start=1):
                     kj, bj = _ConvParams3x3(in_features=g.c, features=width,
                                             name=f"stage1_conv{j}")()
-                    zf = flat_conv3x3_packed(zf, kj, bj, gp, interp,
-                                             False, True)
+                    g_next = dataclasses.replace(g, c=width)
+                    g2 = pool_out_geom(g_next, stage_t(-(-g.h // 2)))
+                    if (j == len(s1) - 1
+                            and _fp.fuse_conv_pool_ok(gp, g2, width)):
+                        # the stage-boundary pool rides this conv's
+                        # epilogue (stage 1 has no side branch, so the
+                        # pool is the activation's only consumer)
+                        zf = _fp.packed_conv_pool(zf, kj, bj, gp, g2,
+                                                  interp)
+                        flat_pooled = (zf, g2)
+                    else:
+                        zf = flat_conv3x3_packed(zf, kj, bj, gp, interp,
+                                                 False, True)
                     gp = dataclasses.replace(gp, c=2 * _half_pad(width))
-                    g = dataclasses.replace(g, c=width)
+                    g = g_next
             else:
                 zf = to_flat(x, g)
                 zf = flat_conv3x3_input(zf, k0, b0, g, interp, True)
@@ -296,7 +310,6 @@ class OSVOS(nn.Module):
         side_feats: List[jnp.ndarray] = []
         side_logits: List[jnp.ndarray] = []
         fused_contribs: List[jnp.ndarray] = []
-        flat_pooled = None  # (buffer, geom) carried from a fused side+pool
         for i, widths in enumerate(cfg.stages[1:], start=1):
             if flat:
                 from osvos_tpu.ops.pallas.flatpool import (pool_flat_p,

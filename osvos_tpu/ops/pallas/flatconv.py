@@ -368,21 +368,91 @@ def _pick_out_blk(t: int, wp: int, c_contract: int, out_pad: int,
 # ---------------------------------------------------------------------------
 
 
+def _kernel_lane_shift(v, s: int):
+    """bf16 (rows, 128): cyclic lane shift (result[l] = v[l-s]) riding the
+    32-bit hardware rotate on the u32 view (lane rolls move whole words,
+    so the bf16 sublane-pair packing is untouched)."""
+    u = pltpu.bitcast(v, jnp.uint32)
+    return pltpu.bitcast(pltpu.roll(u, s % v.shape[-1], axis=1),
+                         jnp.bfloat16)
+
+
 def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
                 relu_input: bool, merged: int = 0,
-                relu_output: bool = False):
+                relu_output: bool = False, pool=None):
     wp, t = g_in.wp, g_in.t
     k_rows = g_in.block_rows
     xs_rows = _LEAD_ROWS + (t + 2) * wp + 32
     jt, last = g_in.jt, g_in.total_tiles - 1
+    if pool is not None:
+        # fused packed 2x2/2 ceil-mode pool epilogue (see
+        # _flat_conv_fwd_impl); all static geometry
+        g2, p_half, p_co = pool
+        t2w = (t // 2) * wp
+        gap = g2.hp - jt * (t // 2)  # uncovered hp-pad rows per image
 
-    def kernel(xf_hbm, kref, bref, out_ref, xs0, xs1, acc, sem, *opt_ym):
+    def kernel(xf_hbm, kref, bref, out_ref, *rest):
+        if pool is not None:
+            pooled_hbm = rest[0]
+            xs0, xs1, acc, sem = rest[1:5]
+            pb0, pb1, carry, zbuf, psem, zsem = rest[5:11]
+            opt_ym = rest[11:]
+        else:
+            xs0, xs1, acc, sem = rest[0:4]
+            opt_ym = rest[4:]
         tt = pl.program_id(1)
         edge = (tt == 0) | (tt == last)
+
+        def zero_dma(dst_off: int, rows: int):
+            cp = pltpu.make_async_copy(
+                zbuf.at[pl.ds(0, rows)],
+                pooled_hbm.at[pl.ds(dst_off, rows)], zsem)
+            cp.start()
+            cp.wait()
+
+        def pcopy(tile, pb):
+            # conv tile (n, j) pools to padded pooled rows
+            # [j*(t//2), (j+1)*(t//2)) of image n: in padded row pair
+            # (q, q+1), q even, holds pixel pair (q-2, q-1) -> pooled
+            # pixel (q-2)/2 -> pooled padded row q/2 + 1; the tile's
+            # pairs start at q = j*t - 2 (the carry rows).
+            jj = (tile - 1) % jt
+            nn = (tile - 1) // jt
+            off = g2.block_rows + (nn * g2.hp + jj * (t // 2)) * wp
+            return pltpu.make_async_copy(
+                pb, pooled_hbm.at[pl.ds(off, t2w)], psem.at[tile % 2])
 
         @pl.when(edge)
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
+
+        if pool is not None:
+            # lead/tail blocks of the pooled buffer are never written by
+            # interior tiles: zero them (zbuf stays all-zero throughout)
+            @pl.when(tt == 0)
+            def _():
+                zbuf[...] = jnp.zeros_like(zbuf)
+
+                # the copies must read zbuf AFTER the zero store; Mosaic
+                # does not track vector-store -> DMA-read ordering (see
+                # _ordered_after), so anchor them on a readback (via f32 —
+                # scalar extracts must be 32-bit)
+                anchor = zbuf[0:16, :].astype(jnp.float32)[0, 0]
+
+                @pl.when(anchor * jnp.float32(0) != jnp.float32(1))
+                def _():
+                    for a in range(0, g2.block_rows, t2w):
+                        zero_dma(a, min(t2w, g2.block_rows - a))
+
+            @pl.when(tt == last)
+            def _():
+                base = g2.rows - g2.block_rows
+                for a in range(0, g2.block_rows, t2w):
+                    zero_dma(base + a, min(t2w, g2.block_rows - a))
+                # drain the last interior tiles' pooled-row copies
+                for tprev in (last - 2, last - 1):
+                    if tprev >= 1:
+                        pcopy(tprev, pb0 if tprev % 2 == 0 else pb1).wait()
 
         def body(xs):
             if relu_input and not _TIMING_BARE:
@@ -435,7 +505,78 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
             w_p = it % wp
             valid = ((h_p >= 2) & (h_p <= h_out_valid + 1)
                      & (w_p >= 2) & (w_p <= w_out_valid + 1))
-            out_ref[...] = jnp.where(valid, out, 0.0).astype(out_ref.dtype)
+            res = jnp.where(valid, out, 0.0).astype(out_ref.dtype)
+            out_ref[...] = res
+            if pool is not None:
+                _pool_epilogue(res, j)
+
+        def _pool_epilogue(res, j):
+            # 2x2/2 ceil-mode max pool of the bf16 value just stored, on
+            # the PACKED layout: the horizontal pair is the row's lane
+            # halves, the vertical pair is two adjacent padded rows (pair
+            # q = j*t - 2 + 2i comes from the PREVIOUS tile's last two
+            # rows for i == 0 -> the carry scratch). Post-relu values and
+            # exact-zero pads make ceil-mode free: max(x, 0) == x.
+            def pool_into(pb):
+                for i in range(t // 2):
+                    if i == 0:
+                        va = carry[pl.ds(0, wp), :]
+                        vb = carry[pl.ds(wp, wp), :]
+                    else:
+                        va = res[(2 * i - 2) * wp:(2 * i - 1) * wp, :]
+                        vb = res[(2 * i - 1) * wp:(2 * i) * wp, :]
+                    v = jnp.maximum(va, vb)
+                    m = jnp.maximum(v, _kernel_lane_shift(v, -p_half))
+                    pb[pl.ds(i * wp, wp), :] = m
+                it2 = jax.lax.broadcasted_iota(jnp.int32, (t2w, 1), 0)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (t2w, 128), 1)
+                p = j * (t // 2) + it2 // wp
+                u = it2 % wp
+                ok = ((p >= 2) & (p <= g2.h + 1) & (u >= 2)
+                      & (u <= g2.w + 1) & (lane < p_co))
+                pb[...] = jnp.where(ok, pb[...], jnp.bfloat16(0))
+
+                # DMA must read pb AFTER the stores above (same hazard as
+                # the zbuf copies; f32 — scalar extracts must be 32-bit)
+                anchor = pb[0:16, :].astype(jnp.float32)[0, 0]
+
+                @pl.when(anchor * jnp.float32(0) != jnp.float32(1))
+                def _():
+                    pcopy(tt, pb).start()
+
+            # slot tt%2 last carried tile tt-2's copy: drain before reuse
+            @pl.when((tt >= 3) & (tt % 2 == 0))
+            def _():
+                pcopy(tt - 2, pb0).wait()
+
+            @pl.when((tt >= 3) & (tt % 2 == 1))
+            def _():
+                pcopy(tt - 2, pb1).wait()
+
+            @pl.when(tt % 2 == 0)
+            def _():
+                pool_into(pb0)
+
+            @pl.when(tt % 2 == 1)
+            def _():
+                pool_into(pb1)
+
+            # hand this tile's last two rows to tile tt+1 (read before
+            # write: pool_into consumed the previous tile's carry above)
+            carry[...] = res[(t - 2) * wp:, :]
+
+            # rows [jt*(t//2), g2.hp) of each image are hp-rounding pad
+            # never produced by any tile: zero them at the image's last
+            # tile (zbuf was zeroed at tt == 0 and never rewritten)
+            if gap > 0:
+                nn = (tt - 1) // jt
+
+                @pl.when(j == jt - 1)
+                def _():
+                    base = g2.block_rows + (nn * g2.hp
+                                            + jt * (t // 2)) * wp
+                    for a in range(0, gap * wp, t2w):
+                        zero_dma(base + a, min(t2w, gap * wp - a))
 
         _with_prefetched_xs(xf_hbm, xs0, xs1, sem, tt, t, wp, xs_rows, last,
                             body)
@@ -447,18 +588,35 @@ def _flat_conv_fwd_impl(zf: jnp.ndarray, kernel: jnp.ndarray,
                         bias: jnp.ndarray, g_in: FlatGeom, d: int,
                         relu_input: bool, interpret: bool,
                         merged: int = 0,
-                        relu_output: bool = False) -> jnp.ndarray:
+                        relu_output: bool = False,
+                        pool_out: "FlatGeom" = None):
     """zf: (rows, c_pad) bf16; kernel: (3, 3, C, D); bias: (D,).
 
     ``merged``: in-half lane count for pair-packed inputs — kernel must
     then already be the packed (3, 3, 2*hi, 2*ho) layout; the cross-pair
     taps run merged (6 dots instead of 9, see merge_packed_taps).
     ``relu_output``: fuse max(., 0) into the epilogue (free — it rides
-    the existing validity-mask where); the post-relu storage mode."""
+    the existing validity-mask where); the post-relu storage mode.
+    ``pool_out``: PACKED inputs only — also emit the ceil-mode 2x2/2 max
+    pool of the conv output into this natural-layout geometry, computed
+    in the epilogue (the packed lane-half/row-pair identity of
+    flatpool.pool_packed_fwd_pallas) so the pool never re-reads the
+    stage buffer from HBM. Returns (out, pooled); requires even h/w,
+    single-lane-tile buffers and a single out-channel tile."""
     c, c_pad = g_in.c, g_in.c_pad
     d_pad = _lane_pad(d)
-    d_blk = _pick_out_blk(g_in.t, g_in.wp, c_pad, d_pad, 0)
+    d_blk = _pick_out_blk(g_in.t, g_in.wp, c_pad, d_pad,
+                          0 if pool_out is None else 1)
     d_tiles = d_pad // d_blk
+    if pool_out is not None:
+        g2 = pool_out
+        assert merged and relu_output, "fused pool needs the packed path"
+        assert d_tiles == 1 and d == d_pad == 128 and g2.c_pad == 128, (
+            d_tiles, d, d_pad, g2)
+        assert g_in.h % 2 == 0 and g_in.t % 2 == 0, (g_in.h, g_in.t)
+        assert g2.w == g_in.w and g2.wp == g_in.wp, (g2, g_in)
+        assert g2.h == g_in.h // 2 and g2.c <= d_pad // 2, (g2, g_in)
+        assert g2.hp >= g_in.jt * (g_in.t // 2), (g2.hp, g_in)
     kp = jnp.pad(kernel.astype(jnp.bfloat16),
                  ((0, 0), (0, 0), (0, c_pad - c), (0, d_pad - d)))
     kp = kp.reshape(9, c_pad, d_pad)
@@ -478,13 +636,33 @@ def _flat_conv_fwd_impl(zf: jnp.ndarray, kernel: jnp.ndarray,
         pltpu.VMEM(acc_shape, jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
+    pool = None
+    out_shape = jax.ShapeDtypeStruct((g_out.rows, d_pad), jnp.bfloat16)
+    out_specs = pl.BlockSpec((g_in.block_rows, d_blk),
+                             lambda di, tt: (tt, di),
+                             memory_space=pltpu.VMEM)
+    if pool_out is not None:
+        pool = (g2, d_pad // 2, g2.c)
+        t2w = (g_in.t // 2) * g_in.wp
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((g2.rows, 128), jnp.bfloat16))
+        out_specs = (out_specs, pl.BlockSpec(memory_space=pl.ANY))
+        scratch += [
+            pltpu.VMEM((t2w, 128), jnp.bfloat16),   # pb0
+            pltpu.VMEM((t2w, 128), jnp.bfloat16),   # pb1
+            pltpu.VMEM((2 * g_in.wp, 128), jnp.bfloat16),  # carry
+            pltpu.VMEM((t2w, 128), jnp.bfloat16),   # zbuf
+            pltpu.SemaphoreType.DMA((2,)),          # psem
+            pltpu.SemaphoreType.DMA,                # zsem
+        ]
     # merged: one cross-pair operand buffer; unmerged: two out-of-place
     # shifted-tap buffers (barrier-free dots)
     for _ in range(1 if merged else 2):
         scratch.append(pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16))
     out = pl.pallas_call(
-        _fwd_kernel(g_in, g_in.h, g_in.w, relu_input, merged, relu_output),
-        out_shape=jax.ShapeDtypeStruct((g_out.rows, d_pad), jnp.bfloat16),
+        _fwd_kernel(g_in, g_in.h, g_in.w, relu_input, merged, relu_output,
+                    pool),
+        out_shape=out_shape,
         grid=(d_tiles, g_in.total_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # zf stays in HBM
@@ -493,9 +671,7 @@ def _flat_conv_fwd_impl(zf: jnp.ndarray, kernel: jnp.ndarray,
             pl.BlockSpec((1, d_blk), lambda di, tt: (0, di),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((g_in.block_rows, d_blk),
-                               lambda di, tt: (tt, di),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20),

@@ -669,6 +669,95 @@ def _pfp_bwd(g_in, g_out, interpret, res, gf_out):
 pool_flat_p.defvjp(_pfp_fwd, _pfp_bwd)
 
 
+# Fuse the last packed stage-1 conv with the stage-boundary pool (A/B
+# knob, env-overridable for step A/Bs; see packed_conv_pool)
+import os as _os
+
+_FUSE_PACKED_CONV_POOL = _os.environ.get("OSVOS_FUSE_CONV_POOL", "1") != "0"
+
+
+def fuse_conv_pool_ok(gp: FlatGeom, g2: FlatGeom, width: int) -> bool:
+    """Static gate for packed_conv_pool: mirrors the geometry the fused
+    epilogue supports (single 128-lane out tile, even dims, pooled width
+    == packed width, pooled hp covering every produced row)."""
+    from osvos_tpu.ops.pallas.flatconv import (_USE_MERGED_TAPS, _half_pad)
+
+    return (_FUSE_PACKED_CONV_POOL and _USE_MERGED_TAPS
+            and 2 * _half_pad(width) == 128 and g2.c == width
+            and gp.h % 2 == 0 and gp.t % 2 == 0
+            and g2.c_pad == 128 and g2.c <= 64
+            and g2.w == gp.w and g2.wp == gp.wp and g2.h == gp.h // 2
+            and g2.hp >= gp.jt * (gp.t // 2))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def packed_conv_pool(zfp, kernel, bias, gp: FlatGeom, g_out: FlatGeom,
+                     interpret: bool = False):
+    """Fused last-packed-conv + 2x2/2 ceil-mode max pool -> pooled buffer.
+
+    The only consumer of stage 1's last activation is the stage-boundary
+    pool (stage 1 has no side branch), so the pool rides the conv's
+    epilogue (flatconv._fwd_kernel pool_out): the pooled rows are built
+    from the conv-out tile while it is still in registers and DMA'd
+    straight to the natural g_out buffer — the standalone pool kernel's
+    full re-read of the packed stage buffer from HBM disappears. Values
+    and argmax tie routing equal flat_conv3x3_packed + pool_packed_p
+    exactly (reference MaxPool2d(2, ceil_mode=True) after the stage-1
+    convs, networks/vgg_osvos.py:~120); the backward routes the pooled
+    cotangent with the UNCHANGED pool_packed_bwd_pallas kernel, then
+    runs the conv's usual fused one-pass backward."""
+    return _pcp_fwd(zfp, kernel, bias, gp, g_out, interpret)[0][1]
+
+
+def _pcp_fwd(zfp, kernel, bias, gp, g_out, interpret):
+    from osvos_tpu.ops.pallas.flatconv import (_USE_MERGED_TAPS,
+                                               _flat_conv_fwd_impl,
+                                               packed_weights)
+    import dataclasses as dc
+
+    assert _USE_MERGED_TAPS, "fused conv+pool requires the merged-tap path"
+    kp, bp = packed_weights(kernel, bias)
+    gi = dc.replace(gp, c=kp.shape[2])
+    zout, pooled = _flat_conv_fwd_impl(
+        zfp, kp, bp, gi, kp.shape[3], False, interpret,
+        merged=kp.shape[2] // 2, relu_output=True, pool_out=g_out)
+    return (zout, pooled), (zfp, kernel, zout, pooled)
+
+
+def _pcp_bwd(gp: FlatGeom, g_out: FlatGeom, interpret, res, cts):
+    from osvos_tpu.ops.pallas.flatconv import (_flat_conv_bwd_fused_impl,
+                                               _half_pad, packed_weights,
+                                               unpack_dk_merged_cols)
+    import dataclasses as dc
+
+    zfp, kernel, zout, pooled = res
+    _, d_pooled = cts
+    ci, co = kernel.shape[2], kernel.shape[3]
+    hi, ho = _half_pad(ci), _half_pad(co)
+    gi_out = dc.replace(gp, c=2 * ho)
+    gf = pool_packed_bwd_pallas(zout, pooled, d_pooled.astype(jnp.bfloat16),
+                                gi_out, g_out, interpret)
+    kp, _ = packed_weights(kernel, jnp.zeros((co,), jnp.float32))
+    gi = dc.replace(gp, c=kp.shape[2])
+    dz, dkp, dbp = _flat_conv_bwd_fused_impl(zfp, gf, kp, gi, kp.shape[3],
+                                             False, interpret, merged=hi)
+    dk = unpack_dk_merged_cols(dkp, ci, co, hi, ho)
+    db = (dbp[:co] + dbp[ho:ho + co]).astype(jnp.float32)
+    return dz, dk.astype(kernel.dtype), db
+
+
+def _pcp_fwd_vjp(zfp, kernel, bias, gp, g_out, interpret):
+    (zout, pooled), res = _pcp_fwd(zfp, kernel, bias, gp, g_out, interpret)
+    return pooled, res
+
+
+def _pcp_bwd_vjp(gp, g_out, interpret, res, d_pooled):
+    return _pcp_bwd(gp, g_out, interpret, res, (None, d_pooled))
+
+
+packed_conv_pool.defvjp(_pcp_fwd_vjp, _pcp_bwd_vjp)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def side_and_pool(zf, side_kernel, g_in: FlatGeom, g_out: FlatGeom,
                   interpret: bool = False):

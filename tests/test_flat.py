@@ -387,6 +387,62 @@ def test_pool_packed_pallas_matches_xla(rng, gt):
                                   np.asarray(gw, np.float32))
 
 
+PCP_GEOMS = [
+    # (n, h, w, ci, co); even h/w — the packed-path gate
+    (1, 8, 12, 8, 8),
+    (2, 10, 6, 3, 8),     # stem-width input, multi-image
+    (1, 16, 32, 8, 16),   # deeper tiling, hp gap rows
+]
+
+
+@pytest.mark.parametrize("gt", PCP_GEOMS)
+def test_packed_conv_pool_equals_unfused(rng, gt):
+    """The fused last-conv + stage-boundary pool (pool rides the conv
+    epilogue, packed_conv_pool) must equal flat_conv3x3_packed followed
+    by pool_packed_p exactly — values and all three gradients, including
+    argmax tie routing on bf16-rounded duplicates."""
+    import dataclasses as dc
+
+    from osvos_tpu.ops.pallas import flatpool as fp
+    from osvos_tpu.ops.pallas.flatconv import (_half_pad, flat_conv3x3_packed,
+                                               pack_image, packed_geom,
+                                               pool_out_geom, stage_t)
+
+    n, h, w, ci, co = gt
+    g = FlatGeom(n=n, h=h, w=w, c=ci, t=stage_t(h))
+    gp = packed_geom(g)
+    x = jnp.abs(jnp.asarray(rng.randn(n, h, w, ci).astype(np.float32)))
+    zfp = pack_image(x, gp)
+    gp_in = dc.replace(gp, c=2 * _half_pad(ci))
+    k = jnp.asarray(0.3 * rng.randn(3, 3, ci, co).astype(np.float32))
+    b = jnp.asarray(0.1 * rng.randn(co).astype(np.float32))
+    g2 = pool_out_geom(dc.replace(g, c=co), stage_t(-(-g.h // 2)))
+    assert fp.fuse_conv_pool_ok(gp_in, g2, co)
+
+    def ref(zfp, k, b):
+        zo = flat_conv3x3_packed(zfp, k, b, gp_in, True, False, True)
+        return fp.pool_packed_p(zo, dc.replace(gp_in, c=2 * _half_pad(co)),
+                                g2, True)
+
+    def fused(zfp, k, b):
+        return fp.packed_conv_pool(zfp, k, b, gp_in, g2, True)
+
+    want = np.asarray(ref(zfp, k, b), np.float32)
+    got = np.asarray(fused(zfp, k, b), np.float32)
+    np.testing.assert_array_equal(got, want)
+
+    ct = jnp.asarray(rng.randn(*want.shape).astype(np.float32))
+
+    def loss(f):
+        return lambda *a: jnp.sum(f(*a).astype(jnp.float32) * ct)
+
+    gr = jax.grad(loss(ref), argnums=(0, 1, 2))(zfp, k, b)
+    gf = jax.grad(loss(fused), argnums=(0, 1, 2))(zfp, k, b)
+    for name, a, bb in zip(("dz", "dk", "db"), gr, gf):
+        np.testing.assert_array_equal(np.asarray(bb, np.float32),
+                                      np.asarray(a, np.float32), err_msg=name)
+
+
 def test_fused_bwd_and_merged_taps_match_separate(rng):
     """The one-pass fused backward (dz+dK+db) and the merged cross-pair
     taps (9 -> 6 dots on packed buffers) must equal the separate

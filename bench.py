@@ -194,7 +194,10 @@ def _bench_finetune(args) -> dict:
         mcfg = ModelConfig(compute_mode=mode)
         height, width, pool = args.height, args.width, 50
     ocfg = OnlineConfig()
-    steps = args.steps_ft or (8 if args.tiny else ocfg.scan_chunk)
+    steps = (args.steps_ft if args.steps_ft is not None
+             else (8 if args.tiny else ocfg.scan_chunk))
+    if steps < 1:
+        raise ValueError(f"--steps_ft must be >= 1, got {steps}")
 
     params = init_osvos_params(jax.random.PRNGKey(0), mcfg,
                                input_hw=(64, 112))

@@ -283,9 +283,13 @@ class OSVOS(nn.Module):
                     kj, bj = _ConvParams3x3(in_features=g.c, features=width,
                                             name=f"stage1_conv{j}")()
                     g_next = dataclasses.replace(g, c=width)
-                    g2 = pool_out_geom(g_next, stage_t(-(-g.h // 2)))
-                    if (j == len(s1) - 1
-                            and _fp.fuse_conv_pool_ok(gp, g2, width)):
+                    fuse_pool = False
+                    if j == len(s1) - 1:
+                        # only the stage's LAST conv can host the
+                        # stage-boundary pool in its epilogue
+                        g2 = pool_out_geom(g_next, stage_t(-(-g.h // 2)))
+                        fuse_pool = _fp.fuse_conv_pool_ok(gp, g2, width)
+                    if fuse_pool:
                         # the stage-boundary pool rides this conv's
                         # epilogue (stage 1 has no side branch, so the
                         # pool is the activation's only consumer)

@@ -59,7 +59,7 @@ def main() -> None:
                     choices=["fast", "parity", "flat"],
                     help="fine-tune compute mode; 'flat' runs the whole "
                          "trunk fwd+bwd in the flat-layout Pallas kernels "
-                         "(fastest measured: 73.4 vs 98.0 ms/step)")
+                         "(fastest measured — see BASELINE.md round table)")
     ap.add_argument("--infer_mode", default=None,
                     choices=["fast", "parity", "int8"],
                     help="compute mode for the post-fine-tune inference "
@@ -311,14 +311,23 @@ def main() -> None:
                                        data_cfg.resolution, seq)
                 anns = _load_annotations(ann_dir)
                 n = len(name_lists[si])
+                if len(anns) < n:
+                    # mirror the serial path's warn-and-skip: one sequence
+                    # with a mismatched annotation directory must not kill
+                    # the whole 20-sequence eval
+                    print(f"[{seq}] WARNING: skipping J/F — {len(anns)} "
+                          f"annotations in {ann_dir} vs {n} predicted "
+                          f"masks (mismatched directory?)", flush=True)
+                    continue
                 m = evaluate_sequence(anns[:n],
                                       [masks[si, t] >= 128 for t in range(n)])
                 print(f"[{seq}] J={m['J_mean']:.4f} F={m['F_mean']:.4f}",
                       flush=True)
                 js.append(m["J_mean"])
                 fs.append(m["F_mean"])
-            print(f"[ALL] J-mean={np.mean(js):.4f} F-mean={np.mean(fs):.4f}",
-                  flush=True)
+            if js:
+                print(f"[ALL] J-mean={np.mean(js):.4f} "
+                      f"F-mean={np.mean(fs):.4f}", flush=True)
 
     if args.all_val:
         from osvos_tpu.data.davis import _read_split

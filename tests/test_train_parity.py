@@ -14,7 +14,31 @@ timing vs accumulation, loss scaling, augmentation indexing, update sign.
 Both step modes are covered: 'microbatch' (one batched fwd/bwd per step,
 mathematically equal to the reference's accumulate-then-step) and
 'sequential' (the literal regime via optax.MultiSteps).
+
+Both compute modes are covered (VERDICT r3 #2): 'parity' (f32 XLA trunk)
+at tight f32-accumulation tolerance, and 'flat' — the PRODUCTION online
+trunk (bf16 Pallas kernels, interpret mode on CPU) — at bf16-scaled
+tolerance, so the production kernels are ONE hop from the torch oracle
+instead of transitively through flat==fast. The flat runs cover both
+layouts: even frame dims take the pixel-pair PACKED path (incl. the fused
+conv+pool and side_and_pool epilogues — the 480x854 production
+composition), odd dims the unpacked flat path.
+
+Flat tolerance (measured, 2026-08-18): bf16 forward error compounds over
+the 5-step trajectory, and on the DEEP stage-5 leaves — whose total
+movement is ~1% of the global max delta — the noise reaches ~60% of the
+leaf's own scale. This is NOT a Pallas artifact: the pure-XLA bf16 'fast'
+trunk at the identical geometry lands rel 0.40-0.67 from the f32 torch
+oracle on the same leaves (flat: 0.24-0.61, slightly CLOSER). So flat
+deltas get a two-term bound, atol = max(0.2*leaf_scale,
+0.075*global_max_delta): load-bearing leaves keep O(1)-bug sensitivity
+(wrong sample, wrong sign, momentum off-by-one, missing 1/nAveGrad all
+perturb them at O(1) of scale), while noise-scale leaves are judged
+against the global movement floor. Per-tap kernel exactness on the deep
+stages is covered separately by tests/test_flat.py vs the XLA twin.
 """
+
+import functools
 
 import numpy as np
 import pytest
@@ -35,20 +59,19 @@ SIDE_CH = 8
 POOL = 3
 CFG = OnlineConfig(n_steps=5, n_ave_grad=2, lr=1e-5, weight_decay=2e-4,
                    momentum=0.9, hflip_prob=0.5, seed=0)
-H, W = 33, 49
 
 
-@pytest.fixture(scope="module")
-def setup():
+@functools.lru_cache(maxsize=None)
+def _setup(h, w):
     torch.manual_seed(11)
     net = TorchOSVOS(stages=TINY_STAGES, side_channels=SIDE_CH)
     state0 = {k: v.detach().clone() for k, v in net.state_dict().items()}
 
     rng = np.random.RandomState(5)
-    img = (rng.randn(H, W, 3) * 40).astype(np.float32)
+    img = (rng.randn(h, w, 3) * 40).astype(np.float32)
     # blob-ish mask, ~15% foreground
-    yy, xx = np.mgrid[:H, :W]
-    mask = (((yy - H / 2) ** 2 + (xx - W / 3) ** 2) < (H / 3) ** 2
+    yy, xx = np.mgrid[:h, :w]
+    mask = (((yy - h / 2) ** 2 + (xx - w / 3) ** 2) < (h / 3) ** 2
             ).astype(np.float32)[..., None]
     pool_imgs, pool_masks = build_host_pool(img, mask, CFG, POOL, seed=3)
 
@@ -66,9 +89,9 @@ def setup():
     return net, state0, pool_imgs, pool_masks, keys, draws
 
 
-def _run_jax(state0, pool_imgs, pool_masks, keys, step_mode):
+def _run_jax(state0, pool_imgs, pool_masks, keys, step_mode, compute_mode):
     cfg_m = ModelConfig(stages=TINY_STAGES, side_channels=SIDE_CH,
-                        compute_mode="parity")
+                        compute_mode=compute_mode)
     params = load_torch_state_dict(
         {k: v.numpy() for k, v in state0.items()}, config=cfg_m)
     chunk = jax.jit(make_chunk_fn(cfg_m, CFG, aug_mode="pool",
@@ -79,9 +102,19 @@ def _run_jax(state0, pool_imgs, pool_masks, keys, step_mode):
     return jax.tree.map(np.asarray, p), np.asarray(losses), params
 
 
-@pytest.mark.parametrize("step_mode", ["microbatch", "sequential"])
-def test_n_step_online_training_matches_torch(setup, step_mode):
-    net, state0, pool_imgs, pool_masks, keys, draws = setup
+# (step_mode, compute_mode, H, W): parity at the historical odd geometry;
+# flat at both layouts — even dims = packed production path, odd = unpacked.
+CASES = [
+    ("microbatch", "parity", 33, 49),
+    ("sequential", "parity", 33, 49),
+    pytest.param("microbatch", "flat", 32, 48, marks=pytest.mark.slow),
+    pytest.param("sequential", "flat", 33, 49, marks=pytest.mark.slow),
+]
+
+
+@pytest.mark.parametrize("step_mode,compute_mode,h,w", CASES)
+def test_n_step_online_training_matches_torch(step_mode, compute_mode, h, w):
+    net, state0, pool_imgs, pool_masks, keys, draws = _setup(h, w)
     net.load_state_dict(state0)
 
     torch_losses = online_finetune_oracle(
@@ -94,23 +127,30 @@ def test_n_step_online_training_matches_torch(setup, step_mode):
     want = jax.tree.map(np.asarray, want)
 
     got, jax_losses, p0 = _run_jax(state0, pool_imgs, pool_masks, keys,
-                                   step_mode)
+                                   step_mode, compute_mode)
 
+    loss_rtol = 2e-4 if compute_mode == "parity" else 5e-2
     np.testing.assert_allclose(jax_losses, np.asarray(torch_losses),
-                               rtol=2e-4)
+                               rtol=loss_rtol)
 
     # Compare the training DELTAS (the raw params are dominated by init);
-    # f32 accumulation-order tolerance, scaled per leaf.
+    # f32 accumulation-order tolerance for 'parity', the measured
+    # two-term bf16-trajectory bound for 'flat' (see module docstring).
+    delta_tol = 5e-3 if compute_mode == "parity" else 0.2
+    floor_frac = 0.0 if compute_mode == "parity" else 0.075
     p0 = jax.tree.map(np.asarray, p0)
     flat_got = jax.tree_util.tree_flatten_with_path(got)[0]
     flat_want = jax.tree_util.tree_flatten_with_path(want)[0]
     flat_p0 = jax.tree_util.tree_flatten_with_path(p0)[0]
+    gmax = max(float(np.abs(w_ - p).max())
+               for (_, w_), (_, p) in zip(flat_want, flat_p0))
     moved = 0.0
-    for (path, g), (_, w), (_, p) in zip(flat_got, flat_want, flat_p0):
-        dg, dw = g - p, w - p
+    for (path, g), (_, w_), (_, p) in zip(flat_got, flat_want, flat_p0):
+        dg, dw = g - p, w_ - p
         moved = max(moved, float(np.abs(dw).max()))
         scale = max(float(np.abs(dw).max()), 1e-12)
+        atol = max(delta_tol * scale, floor_frac * gmax)
         np.testing.assert_allclose(
-            dg, dw, atol=5e-3 * scale, rtol=0,
+            dg, dw, atol=atol, rtol=0,
             err_msg=f"param delta diverges at {jax.tree_util.keystr(path)}")
     assert moved > 0, "training moved nothing — test is vacuous"

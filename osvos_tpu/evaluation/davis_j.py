@@ -31,34 +31,56 @@ def db_eval_iou(annotation: np.ndarray, segmentation: np.ndarray) -> float:
     return float(np.count_nonzero(ann & seg)) / union
 
 
-def _mask_boundary(mask: np.ndarray) -> np.ndarray:
-    """Binary boundary map: pixels of the mask with a non-mask 4-neighbour
-    (including the image border)."""
-    m = (np.asarray(mask) > 0.5).astype(np.uint8)
-    padded = np.pad(m, 1, mode="constant")
-    eroded = cv2.erode(padded, np.ones((3, 3), np.uint8))[1:-1, 1:-1]
-    return (m & ~eroded).astype(bool)
+def seg2bmap(seg: np.ndarray) -> np.ndarray:
+    """Boundary map with the official DAVIS benchmark's half-pixel
+    convention (exact port of ``seg2bmap`` from the davis/BSDS evaluation
+    code, sans its never-taken-at-native-resolution resize branch): a
+    pixel is boundary iff its value differs from its east, south, or
+    southeast neighbour — i.e. an edge sitting BETWEEN pixels is marked
+    on its top/left side, on whichever side of the figure that is. This
+    is NOT the erosion-diff boundary (which marks foreground pixels with
+    any 4-neighbour background, on the foreground side only, and treats
+    the image border as background)."""
+    seg = np.asarray(seg) > 0.5
+    e = np.zeros_like(seg)
+    s = np.zeros_like(seg)
+    se = np.zeros_like(seg)
+    e[:, :-1] = seg[:, 1:]
+    s[:-1, :] = seg[1:, :]
+    se[:-1, :-1] = seg[1:, 1:]
+    b = (seg ^ e) | (seg ^ s) | (seg ^ se)
+    # the shifted-in zeros would mark every last-row/col figure pixel:
+    # the official code limits those to the in-bounds comparisons
+    b[-1, :] = seg[-1, :] ^ e[-1, :]
+    b[:, -1] = seg[:, -1] ^ s[:, -1]
+    b[-1, -1] = False
+    return b
 
 
 def boundary_f_measure(annotation: np.ndarray, segmentation: np.ndarray,
                        bound_th: float = 0.008) -> float:
-    """Official-protocol boundary F: precision/recall of boundary pixels
-    matched within ``bound_th * image_diagonal`` pixels."""
-    fg = _mask_boundary(segmentation)
-    gt = _mask_boundary(annotation)
+    """Official-protocol boundary F (``db_eval_boundary``): precision /
+    recall of ``seg2bmap`` boundary pixels matched within
+    ``ceil(bound_th * image_diagonal)`` pixels, Euclidean-disk dilation
+    (the exact ``skimage.morphology.disk`` rasterization: x^2 + y^2 <=
+    r^2 — cv2's MORPH_ELLIPSE differs on boundary pixels). bound_th >= 1
+    is taken as an absolute pixel radius, as in the official code."""
+    fg = seg2bmap(segmentation)
+    gt = seg2bmap(annotation)
     h, w = fg.shape
-    radius = max(1, int(np.ceil(bound_th * np.sqrt(h * h + w * w))))
-    kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE,
-                                       (2 * radius + 1, 2 * radius + 1))
-    fg_dil = cv2.dilate(fg.astype(np.uint8), kernel).astype(bool)
-    gt_dil = cv2.dilate(gt.astype(np.uint8), kernel).astype(bool)
+    radius = int(bound_th) if bound_th >= 1 else int(
+        np.ceil(bound_th * np.sqrt(h * h + w * w)))
+    yy, xx = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    disk = (xx * xx + yy * yy <= radius * radius).astype(np.uint8)
+    fg_dil = cv2.dilate(fg.astype(np.uint8), disk).astype(bool)
+    gt_dil = cv2.dilate(gt.astype(np.uint8), disk).astype(bool)
 
     n_fg = fg.sum()
     n_gt = gt.sum()
     if n_fg == 0 and n_gt == 0:
         return 1.0
     if n_fg == 0 or n_gt == 0:
-        return 0.0
+        return 0.0  # official: (P,R) = (1,0) or (0,1) -> F = 0
     precision = float((fg & gt_dil).sum()) / n_fg
     recall = float((gt & fg_dil).sum()) / n_gt
     if precision + recall == 0:

@@ -173,6 +173,20 @@ _SPLIT_ACC = False
 # Sizes the VPU overhead share of kernel time.
 _TIMING_BARE = False
 
+# Weight-gradient dot orientation. The wgrad contraction runs over the ROW
+# dim of both operands; as written (dot_general ((0,),(0,))) Mosaic pays an
+# operand transpose feeding the MXU on EVERY such dot (micro-bench
+# scripts/bench_wgrad_orient.py: 9 rows-contraction dots cost up to ~7x
+# nine canonical dots from a pre-transposed operand, and an explicit
+# in-kernel transpose is far cheaper than what Mosaic inserts). With this
+# flag the kernels transpose the SHARED operand ONCE per tile into scratch
+# (z for the fused backward, g for the separate wgrad) and run every tap
+# dot in the MXU-native (1,0) orientation. Exactness: tests/test_flat.py
+# runs both settings. Env-overridable for step A/Bs.
+import os as _os
+
+_WGRAD_XPOSE = _os.environ.get("OSVOS_WGRAD_XPOSE", "1") != "0"
+
 
 def _shift_up_1(xs, n_rows: int) -> None:
     """In-place xs[r] <- xs[r+1] on the bf16 pair-packed u32 view.
@@ -435,9 +449,13 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
 
                 # the copies must read zbuf AFTER the zero store; Mosaic
                 # does not track vector-store -> DMA-read ordering (see
-                # _ordered_after), so anchor them on a readback (via f32 —
-                # scalar extracts must be 32-bit)
-                anchor = zbuf[0:16, :].astype(jnp.float32)[0, 0]
+                # _ordered_after), so anchor them on a readback. The read
+                # must cover EVERY stored row: Mosaic may alias at
+                # sub-ref granularity, and a full-ref vector store lowers
+                # to per-tile stores — a 16-row readback would only order
+                # the tiles it overlaps. A full-buffer scalar reduction
+                # depends on all of them (runs once, at tt == 0).
+                anchor = jnp.sum(zbuf[...].astype(jnp.float32))
 
                 @pl.when(anchor * jnp.float32(0) != jnp.float32(1))
                 def _():
@@ -537,8 +555,11 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
                 pb[...] = jnp.where(ok, pb[...], jnp.bfloat16(0))
 
                 # DMA must read pb AFTER the stores above (same hazard as
-                # the zbuf copies; f32 — scalar extracts must be 32-bit)
-                anchor = pb[0:16, :].astype(jnp.float32)[0, 0]
+                # the zbuf copies). Full-buffer reduction, not a 16-row
+                # readback: the masking store above lowers to per-tile
+                # stores and the anchor must depend on every one of them
+                # (costs ~0.5 us/tile on the VPU; chip-A/B'd neutral).
+                anchor = jnp.sum(pb[...].astype(jnp.float32))
 
                 @pl.when(anchor * jnp.float32(0) != jnp.float32(1))
                 def _():
@@ -901,14 +922,19 @@ def _flat_conv_wgrad_impl(zf: jnp.ndarray, gf: jnp.ndarray, g_in: FlatGeom,
 # mask + dz epilogue mask), shifts once, and emits all three cotangents.
 
 
-def _bwd_fused_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0):
+def _bwd_fused_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0,
+                      xpose: bool = False):
     wp, t = g_in.wp, g_in.t
     k_rows = g_in.block_rows
     xs_rows = _LEAD_ROWS + (t + 2) * wp + 32
     last = g_in.total_tiles - 1
 
     def kernel(gf_hbm, kref, zref, dz_ref, dk_ref, db_ref, xs0, xs1, acc,
-               sem, *opt_ym):
+               sem, *rest):
+        if xpose:
+            zt, opt_ym = rest[0], rest[1:]
+        else:
+            zt, opt_ym = None, rest
         tt = pl.program_id(0)
         edge = (tt == 0) | (tt == last)
 
@@ -924,6 +950,11 @@ def _bwd_fused_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0):
         def body(xs):
             if relu_input:
                 zref[...] = jnp.maximum(zref[...], jnp.bfloat16(0))
+            if xpose:
+                # transpose the SHARED wgrad operand ONCE per tile; the
+                # tap dots below then run in the MXU-native orientation
+                # instead of paying Mosaic's per-dot operand transpose
+                zt[...] = zref[...].T
 
             def phase(src, kidx, widx, first, stride=3):
                 for kh in range(3):
@@ -937,11 +968,20 @@ def _bwd_fused_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0):
                     else:
                         acc[...] += d
                 for kh in range(3):
-                    dk_ref[(2 - kh) * stride + widx] += jax.lax.dot_general(
-                        zref[...],
-                        src[pl.ds(_LEAD_ROWS + kh * wp, k_rows), :],
-                        (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+                    if xpose:
+                        dk_ref[(2 - kh) * stride + widx] += (
+                            jax.lax.dot_general(
+                                zt[...],
+                                src[pl.ds(_LEAD_ROWS + kh * wp, k_rows), :],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32))
+                    else:
+                        dk_ref[(2 - kh) * stride + widx] += (
+                            jax.lax.dot_general(
+                                zref[...],
+                                src[pl.ds(_LEAD_ROWS + kh * wp, k_rows), :],
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32))
 
             if merged:
                 ym = opt_ym[0]
@@ -995,18 +1035,24 @@ def _flat_conv_bwd_fused_impl(zf: jnp.ndarray, gf: jnp.ndarray,
         n_taps = 6
 
     xs_rows = _LEAD_ROWS + (g_in.t + 2) * g_in.wp + 32
+    # once-per-tile transposed z for MXU-native wgrad dots: a win only on
+    # wide-lane operands (bench_wgrad_orient: ~+18% at 512 lanes, neutral
+    # at 256, a small LOSS at 128 where rows-contraction is already fine)
+    xpose = _WGRAD_XPOSE and c_pad >= 512
     scratch = [
         pltpu.VMEM((xs_rows, d_pad), jnp.bfloat16),
         pltpu.VMEM((xs_rows, d_pad), jnp.bfloat16),
         pltpu.VMEM((g_in.block_rows, c_pad), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
+    if xpose:
+        scratch.append(pltpu.VMEM((c_pad, g_in.block_rows), jnp.bfloat16))
     # merged: one cross-pair operand buffer; unmerged: two out-of-place
     # shifted-tap buffers (barrier-free dots)
     for _ in range(1 if merged else 2):
         scratch.append(pltpu.VMEM((xs_rows, d_pad), jnp.bfloat16))
     dz, dk, db = pl.pallas_call(
-        _bwd_fused_kernel(g_in, relu_input, merged),
+        _bwd_fused_kernel(g_in, relu_input, merged, xpose),
         out_shape=(
             jax.ShapeDtypeStruct((g_in.rows, c_pad), jnp.bfloat16),
             jax.ShapeDtypeStruct((n_taps, c_pad, d_pad), jnp.float32),

@@ -294,22 +294,32 @@ def _fine_tune_rounds(params, opt_state, pool_imgs, pool_masks, step_keys,
     d = mesh.devices.size if mesh is not None else 1
     fn, put = make_rounds_fn(chunk, mesh, axis_name)
 
-    out_params, out_losses = [], []
-    for r0 in range(0, s, d):
+    def stage(r0):
+        """Place round r0's operands on the mesh (pools are the bulk:
+        ~330 MB/device at 480p pool_size=100)."""
         n_real = min(d, s - r0)
 
         def take(t):
             return put(jax.tree.map(
                 lambda a: _pad_to(jnp.asarray(a[r0:r0 + n_real]), d), t))
 
-        p_r, o_r = take(params), take(opt_state)
-        pi_r, pm_r = take(pool_imgs), take(pool_masks)
-        k_r = _pad_to(step_keys[r0:r0 + n_real], d)
+        return (n_real, take(params), take(opt_state), take(pool_imgs),
+                take(pool_masks), _pad_to(step_keys[r0:r0 + n_real], d))
+
+    out_params, out_losses = [], []
+    staged = stage(0)
+    for r0 in range(0, s, d):
+        n_real, p_r, o_r, pi_r, pm_r, k_r = staged
         losses_r = []
         for start in range(0, cfg.n_steps, chunk_len):
             p_r, o_r, l = fn(p_r, o_r, pi_r, pm_r,
                              put(k_r[:, start:start + chunk_len]))
             losses_r.append(l)
+        # round dispatches are in flight: stage round r+1's transfers NOW
+        # so the host->device pool copies ride under this round's compute
+        # instead of serializing ahead of the next round's first chunk
+        if r0 + d < s:
+            staged = stage(r0 + d)
         out_params.append(jax.tree.map(lambda a: a[:n_real], p_r))
         out_losses.append(jnp.concatenate(losses_r, axis=1)[:n_real])
 
@@ -330,17 +340,30 @@ def stack_param_list(params_list):
 
 def batched_infer(
     stacked_params,
-    frames: jnp.ndarray,  # (S, T, H, W, 3) padded per-sequence frame stacks
+    frames,  # (S, T, H, W, 3) stack OR ragged list of per-seq frame lists
     model_config: ModelConfig,
     mesh: Optional[Mesh] = None,
     axis_name: str = "seq",
     act_scales: Optional[jnp.ndarray] = None,  # (S, n_trunk_convs) f32
-) -> jnp.ndarray:
-    """Per-sequence-adapted inference over padded frame stacks.
+    hbm_budget_bytes: int = 4 * 2 ** 30,
+):
+    """Per-sequence-adapted inference, chunked under an HBM budget.
 
-    Returns (S, T, H, W) uint8 probability maps. Frame counts differ across
-    DAVIS sequences; callers pad T to the max (masking is a host concern —
-    padded frames are simply ignored downstream).
+    Returns (S, T, H, W) uint8 probability maps (T = max frame count).
+    ``frames`` is either a padded (S, T, H, W, 3) stack, or — the
+    memory-bounded form — a ragged list of per-sequence frame lists:
+    shorter sequences are padded by repeating their last frame (identical
+    semantics to the caller-padded stack; the pads are ignored
+    downstream), and only one T-chunk of f32 frames is ever materialized
+    at a time. The full DAVIS val protocol as one stack is ~98 GB of host
+    f32 and ~12 GB/device (+ activations), where the reference streams
+    frame-by-frame (train_online.py:~135) — hence the guard.
+
+    The frame axis is dispatched in chunks sized so each dispatch's
+    per-device residency (f32 input + live bf16 trunk activations) stays
+    within ``hbm_budget_bytes``; a padded final chunk keeps it to one
+    compiled executable. Chunked and unchunked outputs are equal
+    (tests/test_parallel.py).
 
     act_scales: per-sequence int8 activation calibration
     (models/quantize.calibrate_int8_scales_batched) fed through the
@@ -351,6 +374,41 @@ def batched_infer(
     from osvos_tpu.models.vgg_osvos import OSVOS
 
     model = OSVOS(model_config)
+
+    ragged = isinstance(frames, (list, tuple))
+    if ragged:
+        t_counts = [len(f) for f in frames]
+        s, t_max = len(frames), max(t_counts)
+        h, w = np.asarray(frames[0][0]).shape[:2]
+
+        def frame_at(si: int, ti: int):
+            return np.asarray(frames[si][min(ti, t_counts[si] - 1)],
+                              np.float32)
+    else:
+        frames = np.asarray(frames)
+        s, t_max, h, w = frames.shape[:4]
+
+        def frame_at(si: int, ti: int):
+            return frames[si, ti]
+
+    n_dev = mesh.devices.size if mesh is not None else 1
+    s_padded = -(-s // n_dev) * n_dev
+    s_local = s_padded // n_dev
+    # Per-frame on-device residency estimate: the f32 input plus the live
+    # bf16 trunk activations XLA keeps concurrently (~two 64-channel
+    # full-res stage-1 buffers + head maps ≈ 320 B/pixel) — a guard, not
+    # a scheduler; err high so the budget holds.
+    bytes_per_frame = h * w * (3 * 4 + 320)
+    chunk_t = max(1, min(t_max,
+                         int(hbm_budget_bytes
+                             // max(s_local * bytes_per_frame, 1))))
+    if chunk_t < t_max:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "batched_infer: chunking %d frames into dispatches of %d to "
+            "fit the %.1f GiB/device budget (%d seqs/device at %dx%d)",
+            t_max, chunk_t, hbm_budget_bytes / 2 ** 30, s_local, h, w)
 
     def one_seq(p, seq_frames, scales):
         logits = model.apply({"params": p}, seq_frames, mode="infer",
@@ -363,25 +421,42 @@ def batched_infer(
             return one_seq(p, seq_frames, None)
 
         vmapped = jax.vmap(one_seq_ns, in_axes=(0, 0))
-        operands = (stacked_params, frames)
+        static = (stacked_params,)
     else:
         vmapped = jax.vmap(one_seq, in_axes=(0, 0, 0))
-        operands = (stacked_params, frames, jnp.asarray(act_scales,
-                                                        jnp.float32))
+        static = (stacked_params, jnp.asarray(act_scales, jnp.float32))
+
     if mesh is not None:
         spec = P(axis_name)
         shard = NamedSharding(mesh, spec)
-        s = frames.shape[0]
-        n_dev = mesh.devices.size
-        s_padded = -(-s // n_dev) * n_dev
-        operands = tuple(
+        static = tuple(
             jax.device_put(jax.tree.map(lambda p: _pad_to(p, s_padded), op),
                            shard)
-            for op in operands)
-        mapped = jax.shard_map(vmapped, mesh=mesh,
-                               in_specs=(spec,) * len(operands),
-                               check_vma=False,
-                               out_specs=spec)
-        out = jax.jit(mapped)(*operands)
-        return out[:s]
-    return jax.jit(vmapped)(*operands)
+            for op in static)
+        n_in = len(static) + 1
+        mapped = jax.shard_map(
+            lambda p, f, *sc: vmapped(p, f, *sc), mesh=mesh,
+            in_specs=(spec,) * n_in, check_vma=False, out_specs=spec)
+        fn = jax.jit(mapped)
+
+        def run_stack(stack):  # (s, tc, h, w, 3) -> (s, tc, h, w) u8
+            fs = jax.device_put(_pad_to(jnp.asarray(stack), s_padded), shard)
+            return fn(static[0], fs, *static[1:])[:s]
+    else:
+        fn = jax.jit(vmapped)
+
+        def run_stack(stack):
+            return fn(static[0], jnp.asarray(stack), *static[1:])
+
+    if chunk_t == t_max and not ragged:
+        return run_stack(frames)  # single dispatch, device-resident result
+
+    out = np.empty((s, t_max, h, w), np.uint8)
+    buf = np.empty((s, chunk_t, h, w, 3), np.float32)
+    for t0 in range(0, t_max, chunk_t):
+        tc = min(chunk_t, t_max - t0)
+        for si in range(s):
+            for tj in range(chunk_t):  # final chunk padded: one executable
+                buf[si, tj] = frame_at(si, min(t0 + tj, t_max - 1))
+        out[:, t0:t0 + tc] = np.asarray(run_stack(buf))[:, :tc]
+    return out

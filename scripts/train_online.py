@@ -274,9 +274,6 @@ def main() -> None:
         print(f"[batched] {len(seqs)} sequences fine-tuned in {ft:.1f}s "
               f"({ft / len(seqs):.1f}s/seq amortized)", flush=True)
 
-        t_max = max(len(f) for f in frame_lists)
-        padded = np.stack([
-            np.stack(f + [f[-1]] * (t_max - len(f))) for f in frame_lists])
         icfg = model_config
         if infer_mode != model_config.compute_mode:
             import dataclasses as _dc
@@ -292,9 +289,12 @@ def main() -> None:
 
             act_scales = calibrate_int8_scales_batched(
                 adapted, jnp.asarray(np.stack(first_imgs)), icfg)
-        masks = np.asarray(batched_infer(adapted, jnp.asarray(padded),
-                                         icfg, mesh=mesh,
-                                         act_scales=act_scales))
+        # ragged per-sequence lists: batched_infer pads and chunks the
+        # frame axis under its per-device HBM budget instead of this
+        # script materializing the full (S, t_max, H, W, 3) f32 stack
+        # (~98 GB host / ~12 GB/device at the real 20-sequence protocol)
+        masks = np.asarray(batched_infer(adapted, frame_lists, icfg,
+                                         mesh=mesh, act_scales=act_scales))
         if not args.no_save:
             for si, seq in enumerate(seqs):
                 for ti, fname in enumerate(name_lists[si]):

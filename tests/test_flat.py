@@ -33,6 +33,7 @@ GEOMS = [
     (1, 5, 14, 8, 8, 4),      # w+2 == 16 exactly; h % t != 0
     (2, 9, 27, 16, 8, 8),     # wider-than-one-tile wp, odd w
     (1, 4, 6, 130, 8, 4),     # c > 128: multi-lane-tile contraction
+    (1, 4, 6, 512, 8, 4),     # c_pad == 512: the _WGRAD_XPOSE fused-bwd gate
 ]
 
 
@@ -90,6 +91,30 @@ def test_flat_conv_grads_match_twin(rng, geom_tuple):
     scale_b = np.abs(np.asarray(gr[2])).max() + 1e-6
     np.testing.assert_allclose(np.asarray(gp[2]), np.asarray(gr[2]),
                                atol=3e-2 * scale_b)
+
+
+def test_fused_bwd_xpose_matches_rows_contraction(rng, monkeypatch):
+    """The once-per-tile transposed-operand wgrad formulation
+    (_WGRAD_XPOSE, used at c_pad >= 512) must equal the rows-contraction
+    dots — same contraction, same order, only the MXU orientation moves."""
+    import dataclasses
+
+    from osvos_tpu.ops.pallas import flatconv as fc
+
+    g, zf, k, b = _mk(rng, (1, 4, 6, 512, 8, 4))
+    d = k.shape[-1]
+    gf = to_flat(jnp.asarray(rng.randn(g.n, g.h, g.w, d), jnp.float32),
+                 dataclasses.replace(g, c=d)).astype(jnp.bfloat16)
+
+    outs = {}
+    for flag in (False, True):
+        monkeypatch.setattr(fc, "_WGRAD_XPOSE", flag)
+        outs[flag] = fc._flat_conv_bwd_fused_impl(zf, gf, k, g, d, True,
+                                                  True)
+    for a, b_ in zip(outs[False], outs[True]):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_flat_roundtrip(rng):

@@ -152,6 +152,29 @@ def test_batched_infer_sharded(tiny_params, rng):
     assert out.dtype == jnp.uint8
 
 
+def test_batched_infer_chunked_matches_unchunked(tiny_params, rng):
+    """The HBM-budget frame chunking (ragged per-sequence lists, padded
+    final chunk) must reproduce the single-dispatch padded-stack path
+    exactly — including the repeat-last-frame padding semantics."""
+    imgs, _ = _pairs(rng, 3)
+    lists = [[np.asarray(imgs[i]) * (0.5 + 0.3 * t) for t in range(n)]
+             for i, n in enumerate((3, 1, 2))]
+    t_max = 3
+    stack = np.stack([np.stack(f + [f[-1]] * (t_max - len(f)))
+                      for f in lists])
+    stacked = stack_param_list([tiny_params] * 3)
+
+    want = np.asarray(batched_infer(stacked, stack, TINY))
+    got = batched_infer(stacked, lists, TINY, hbm_budget_bytes=1)
+    assert isinstance(got, np.ndarray) and got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
+
+    mesh = make_mesh("seq", n_devices=2)  # 3 seqs -> padded to 4
+    got_mesh = batched_infer(stacked, lists, TINY, mesh=mesh,
+                             hbm_budget_bytes=1)
+    np.testing.assert_array_equal(got_mesh, want)
+
+
 def test_batched_infer_static_int8_scales_match_f32(tiny_params, rng):
     """Batched inference with PER-SEQUENCE static int8 scales (traced
     operands through shard_map — one compile for the whole val split) must

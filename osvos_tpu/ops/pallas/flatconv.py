@@ -156,6 +156,44 @@ def from_flat(zf: jnp.ndarray, g: FlatGeom) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# haloed-core layout: the one-pad input form for manually-DMA'd buffers
+# ---------------------------------------------------------------------------
+#
+# ``to_flat`` costs TWO full-buffer pad passes (the spatial/channel pad,
+# then the lead/tail pad — XLA cannot fuse sequential pads), measured at
+# ~1.7 ms/step on the 278 MB packed image buffer alone. But the global
+# lead/tail blocks exist ONLY so the halo DMA window of the first/last
+# interior tile reads zeros — and 2 extra per-image h-rows inside the
+# FIRST pad provide the same guarantee at ~0.7% extra write. Buffers in
+# this layout are consumed exclusively through the manual-DMA path
+# (`_with_prefetched_xs(haloed=...)`), which offsets per (image, tile)
+# instead of assuming one uniform row stride; the auto-pipelined
+# operands and all OUTPUT buffers keep the standard lead/tail layout.
+
+
+def _halo_eb(wp: int) -> int:
+    """Extra BOTTOM h-rows per image: the last tile's DMA window over-runs
+    its image block by 32 rows + one h-row, so (eb-1)*wp >= 32."""
+    return max(2, 1 + -(-32 // wp))
+
+
+def haloed_stride(g: FlatGeom) -> int:
+    """Rows per image block in the haloed-core layout."""
+    return (g.hp + 2 + _halo_eb(g.wp)) * g.wp
+
+
+def to_flat_haloed(x: jnp.ndarray, g: FlatGeom) -> jnp.ndarray:
+    """(n, h, w, c) -> haloed-core flat buffer (ONE pad op): per image,
+    2 extra zero h-rows above the standard hp block and _halo_eb below,
+    no global lead/tail."""
+    eb = _halo_eb(g.wp)
+    core = jnp.pad(x.astype(jnp.bfloat16),
+                   ((0, 0), (4, g.hp - g.h - 2 + eb),
+                    (2, g.wp - g.w - 2), (0, g.c_pad - g.c)))
+    return core.reshape(g.n * (g.hp + 2 + eb) * g.wp, g.c_pad)
+
+
+# ---------------------------------------------------------------------------
 # shared in-kernel helpers
 # ---------------------------------------------------------------------------
 
@@ -296,6 +334,34 @@ def merge_packed_taps(k9: jnp.ndarray, a: int, b: int) -> jnp.ndarray:
     return jnp.stack(dense + merged)
 
 
+def _shift_up2_inplace(xs, n_rows: int) -> None:
+    """xs[r] <- xs[r+2]: one aligned u32-word roll, chunks walk upward."""
+    n_w = n_rows // 2
+    ch = _round_up(-(-n_w // 8), 8)
+    for a in range(0, n_w, ch):
+        b = min(a + ch, n_w)
+        wv = pltpu.bitcast(xs[pl.ds(2 * (a + 1), 2 * (b - a)), :],
+                           jnp.uint32)
+        xs[pl.ds(2 * a, 2 * (b - a)), :] = pltpu.bitcast(wv, jnp.bfloat16)
+
+
+def _roll2_bf16(v):
+    """roll a bf16 (rows, C) value down 2 rows: one u32-word roll (the
+    hardware rotate only supports 32-bit data)."""
+    u = pltpu.bitcast(v, jnp.uint32)
+    return pltpu.bitcast(pltpu.roll(u, 1, axis=0), jnp.bfloat16)
+
+
+def _dup_lo(u):
+    lo = u & jnp.uint32(0xFFFF)
+    return lo | (lo << 16)
+
+
+def _dup_hi(u):
+    hi = u & jnp.uint32(0xFFFF0000)
+    return (u >> 16) | hi
+
+
 def _ordered_after(anchor, fn):
     """Run ``fn`` strictly after the dots that produced ``anchor``.
 
@@ -312,7 +378,8 @@ def _ordered_after(anchor, fn):
 
 
 def _with_prefetched_xs(src_hbm, xs0, xs1, sem, tt, t: int, wp: int,
-                        xs_rows: int, last: int, body) -> None:
+                        xs_rows: int, last: int, body,
+                        haloed=None, extra_copies=None) -> None:
     """Double-buffered halo DMA across grid steps.
 
     The back-to-back ``start(); wait()`` form serializes every tile's
@@ -324,36 +391,69 @@ def _with_prefetched_xs(src_hbm, xs0, xs1, sem, tt, t: int, wp: int,
     shifts); the in-flight copy always targets the other slot. The
     leading edge tile (tt == 0, present in every d-tile sweep) warms the
     pipeline by starting tile 1's copy.
+
+    ``haloed``: (jt, stride) when src_hbm is a haloed-core buffer
+    (to_flat_haloed) — windows offset per (image, tile) instead of the
+    uniform lead+core+tail stride; values and zero-halo guarantees are
+    identical by construction.
+
+    ``extra_copies(tile_idx, slot)``: optional further async copies that
+    ride the same double-buffered slot schedule (started with the tile's
+    window, waited before its body). The body can address the matching
+    scratch slot as ``tt % 2`` — body(xs1) runs exactly in the tt-odd
+    branch.
     """
 
+    def start_extra(tile_idx, slot):
+        if extra_copies is not None:
+            for cp in extra_copies(tile_idx, slot):
+                cp.start()
+
+    def wait_extra(tile_idx, slot):
+        if extra_copies is not None:
+            for cp in extra_copies(tile_idx, slot):
+                cp.wait()
+
     def dma(tile_idx, xs_ref, sem_ref):
-        off = pl.multiple_of((tile_idx * t - 1) * wp - _LEAD_ROWS, 16)
+        if haloed is not None:
+            jt, stride = haloed
+            nj = tile_idx - 1
+            off = pl.multiple_of(
+                (nj // jt) * stride + ((nj % jt) * t + 1) * wp - _LEAD_ROWS,
+                16)
+        else:
+            off = pl.multiple_of((tile_idx * t - 1) * wp - _LEAD_ROWS, 16)
         return pltpu.make_async_copy(src_hbm.at[pl.ds(off, xs_rows)],
                                      xs_ref, sem_ref)
 
     @pl.when(tt == 0)
     def _():
         dma(1, xs1, sem.at[1]).start()
+        start_extra(1, 1)
 
     interior = (tt >= 1) & (tt < last)
 
     @pl.when(interior & (tt + 1 < last) & (tt % 2 == 1))
     def _():
         dma(tt + 1, xs0, sem.at[0]).start()
+        start_extra(tt + 1, 0)
 
     @pl.when(interior & (tt + 1 < last) & (tt % 2 == 0))
     def _():
         dma(tt + 1, xs1, sem.at[1]).start()
+        start_extra(tt + 1, 1)
 
     @pl.when(interior & (tt % 2 == 1))
     def _():
         dma(tt, xs1, sem.at[1]).wait()
-        body(xs1)
+        wait_extra(tt, 1)
+        body(xs1, 1)
 
     @pl.when(interior & (tt % 2 == 0))
     def _():
         dma(tt, xs0, sem.at[0]).wait()
-        body(xs0)
+        wait_extra(tt, 0)
+        body(xs0, 0)
 
 
 def _pick_out_blk(t: int, wp: int, c_contract: int, out_pad: int,
@@ -393,7 +493,9 @@ def _kernel_lane_shift(v, s: int):
 
 def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
                 relu_input: bool, merged: int = 0,
-                relu_output: bool = False, pool=None):
+                relu_output: bool = False, pool=None,
+                src_haloed: bool = False):
+    haloed = (g_in.jt, haloed_stride(g_in)) if src_haloed else None
     wp, t = g_in.wp, g_in.t
     k_rows = g_in.block_rows
     xs_rows = _LEAD_ROWS + (t + 2) * wp + 32
@@ -472,7 +574,7 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
                     if tprev >= 1:
                         pcopy(tprev, pb0 if tprev % 2 == 0 else pb1).wait()
 
-        def body(xs):
+        def body(xs, slot=0):
             if relu_input and not _TIMING_BARE:
                 xs[...] = jnp.maximum(xs[...], jnp.bfloat16(0))
 
@@ -600,7 +702,7 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
                         zero_dma(base + a, min(t2w, gap * wp - a))
 
         _with_prefetched_xs(xf_hbm, xs0, xs1, sem, tt, t, wp, xs_rows, last,
-                            body)
+                            body, haloed=haloed)
 
     return kernel
 
@@ -610,7 +712,8 @@ def _flat_conv_fwd_impl(zf: jnp.ndarray, kernel: jnp.ndarray,
                         relu_input: bool, interpret: bool,
                         merged: int = 0,
                         relu_output: bool = False,
-                        pool_out: "FlatGeom" = None):
+                        pool_out: "FlatGeom" = None,
+                        src_haloed: bool = False):
     """zf: (rows, c_pad) bf16; kernel: (3, 3, C, D); bias: (D,).
 
     ``merged``: in-half lane count for pair-packed inputs — kernel must
@@ -682,7 +785,7 @@ def _flat_conv_fwd_impl(zf: jnp.ndarray, kernel: jnp.ndarray,
         scratch.append(pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16))
     out = pl.pallas_call(
         _fwd_kernel(g_in, g_in.h, g_in.w, relu_input, merged, relu_output,
-                    pool),
+                    pool, src_haloed),
         out_shape=out_shape,
         grid=(d_tiles, g_in.total_tiles),
         in_specs=[
@@ -720,7 +823,7 @@ def _dgrad_kernel(g_geom: FlatGeom):
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        def body(xs):
+        def body(xs, slot=0):
             def taps(kw, first):
                 for kh in range(3):
                     d = jax.lax.dot_general(
@@ -797,7 +900,9 @@ def _flat_conv_dgrad_impl(gf: jnp.ndarray, kernel: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _wgrad_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0):
+def _wgrad_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0,
+                  src_haloed: bool = False):
+    haloed = (g_in.jt, haloed_stride(g_in)) if src_haloed else None
     wp, t = g_in.wp, g_in.t
     k_rows = g_in.block_rows
     xs_rows = _LEAD_ROWS + (t + 2) * wp + 32
@@ -812,7 +917,7 @@ def _wgrad_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0):
             out_ref[...] = jnp.zeros_like(out_ref)
             db_ref[...] = jnp.zeros_like(db_ref)
 
-        def body(xs):
+        def body(xs, slot=0):
             if relu_input:
                 xs[...] = jnp.maximum(xs[...], jnp.bfloat16(0))
 
@@ -842,14 +947,14 @@ def _wgrad_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0):
                                       axis=0, keepdims=True)
 
         _with_prefetched_xs(xf_hbm, xs0, xs1, sem, tt, t, wp, xs_rows, last,
-                            body)
+                            body, haloed=haloed)
 
     return kernel
 
 
 def _flat_conv_wgrad_impl(zf: jnp.ndarray, gf: jnp.ndarray, g_in: FlatGeom,
                           d: int, relu_input: bool, interpret: bool,
-                          merged: int = 0
+                          merged: int = 0, src_haloed: bool = False
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (dk (3,3,C,D) f32, db (D,) f32). With ``merged`` (packed
     pair layout), dk is the RAW (6, c_pad, d_pad) tap accumulator —
@@ -880,7 +985,7 @@ def _flat_conv_wgrad_impl(zf: jnp.ndarray, gf: jnp.ndarray, g_in: FlatGeom,
     if merged:
         scratch.append(pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16))
     dk, db = pl.pallas_call(
-        _wgrad_kernel(g_in, relu_input, merged),
+        _wgrad_kernel(g_in, relu_input, merged, src_haloed),
         out_shape=(
             jax.ShapeDtypeStruct((n_taps, c_pad, d_pad), jnp.float32),
             jax.ShapeDtypeStruct((8, d_pad), jnp.float32),
@@ -947,7 +1052,7 @@ def _bwd_fused_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0,
         def _():
             dz_ref[...] = jnp.zeros_like(dz_ref)
 
-        def body(xs):
+        def body(xs, slot=0):
             if relu_input:
                 zref[...] = jnp.maximum(zref[...], jnp.bfloat16(0))
             if xpose:
@@ -1198,7 +1303,7 @@ def _stem_wgrad_kernel(g_in: FlatGeom, width: int):
             dk_ref[...] = jnp.zeros_like(dk_ref)
             db_ref[...] = jnp.zeros_like(db_ref)
 
-        def body(xs):
+        def body(xs, slot=0):
             n_sh = k_rows // 2
             ch = _round_up(-(-n_sh // 8), 8)
             for a in range(8, 8 + n_sh, ch):
@@ -1273,12 +1378,24 @@ def _stem_wgrad_stacked_impl(zfp, gf, g_in: FlatGeom, d_pad: int,
     return dk, db
 
 
-def _side_bwd_kernel(g_in: FlatGeom, d: int, with_extra: bool = False):
+def _side_bwd_kernel(g_in: FlatGeom, d: int, with_extra: bool = False,
+                     src_haloed: bool = False, pool_out: FlatGeom = None):
+    haloed = (g_in.jt, haloed_stride(g_in)) if src_haloed else None
     wp, t = g_in.wp, g_in.t
     k_rows = g_in.block_rows
     xs_rows = _LEAD_ROWS + (t + 2) * wp + 32
-    last = g_in.total_tiles - 1
+    jt1, last = g_in.jt, g_in.total_tiles - 1
     assert 8 * d <= 128 and d % 4 == 0, d
+    assert not (with_extra and pool_out is not None)
+    if pool_out is not None:
+        # fused stage-boundary pool backward (see _sap_bwd): the argmax
+        # routing of flatpool._bwd_kernel runs in this kernel's epilogue
+        # against the ALREADY-STREAMED zref tile, and the routed rows add
+        # into dz as they are written
+        pg = pool_out
+        wp2 = pg.wp
+        w2_rows = (t // 2 + 2) * wp2
+        h1, w1 = g_in.h, g_in.w
 
     def kernel(gf_hbm, ks01_ref, ks2_ref, zref, *rest):
         if with_extra:
@@ -1287,12 +1404,31 @@ def _side_bwd_kernel(g_in: FlatGeom, d: int, with_extra: bool = False):
             # epilogue instead of a separate full-buffer XLA add
             (extra_ref, dz_ref, dk01_ref, dk2_ref, db_ref,
              xs0, xs1, g01, g2, acc, sem) = rest
+        elif pool_out is not None:
+            extra_ref = None
+            (zout_hbm, gout_hbm, dz_ref, dk01_ref, dk2_ref, db_ref,
+             xs0, xs1, g01, g2, acc, sem,
+             zs0, zs1, gs0, gs1, psem) = rest
         else:
             extra_ref = None
             (dz_ref, dk01_ref, dk2_ref, db_ref,
              xs0, xs1, g01, g2, acc, sem) = rest
         tt = pl.program_id(0)
         edge = (tt == 0) | (tt == last)
+
+        def pool_copies(tile, slot):
+            j = (tile - 1) % jt1
+            nimg = (tile - 1) // jt1
+            off = pl.multiple_of(
+                (pg.t + nimg * pg.hp + (j * t) // 2) * wp2, 16)
+            zsb = zs0 if slot == 0 else zs1
+            gsb = gs0 if slot == 0 else gs1
+            return (
+                pltpu.make_async_copy(zout_hbm.at[pl.ds(off, w2_rows)],
+                                      zsb, psem.at[0, slot]),
+                pltpu.make_async_copy(gout_hbm.at[pl.ds(off, w2_rows)],
+                                      gsb, psem.at[1, slot]),
+            )
 
         @pl.when(tt == 0)
         def _():
@@ -1304,7 +1440,7 @@ def _side_bwd_kernel(g_in: FlatGeom, d: int, with_extra: bool = False):
         def _():
             dz_ref[...] = jnp.zeros_like(dz_ref)
 
-        def body(xs):
+        def body(xs, slot=0):
             # build the stacked operands chunkwise over the tile's own
             # k_rows: G row (16 + j) at stack slot ``tap`` holds
             # gf[j + (kh-1)*wp + (kw-1)] — the SAME +off reads as the fwd
@@ -1364,23 +1500,89 @@ def _side_bwd_kernel(g_in: FlatGeom, d: int, with_extra: bool = False):
             dz = jnp.where(zmask, acc[...], 0.0)
             if with_extra:
                 dz = dz + extra_ref[...].astype(jnp.float32)
-            dz_ref[...] = dz.astype(dz_ref.dtype)
+            if pool_out is None:
+                dz_ref[...] = dz.astype(dz_ref.dtype)
+                return
+
+            # fused pool backward: flatpool._bwd_kernel's routing verbatim
+            # (reference row-major-first argmax tie order), with the
+            # stage activation coming from the already-resident zref tile
+            # and the routed rows ADDED into dz as each pair is written
+            zsb = zs0 if slot == 0 else zs1
+            gsb = gs0 if slot == 0 else gs1
+            jj = (tt - 1) % jt1
+            _shift_up2_inplace(zsb, w2_rows - 2)
+            _shift_up2_inplace(gsb, w2_rows - 2)
+
+            ca = jax.lax.broadcasted_iota(jnp.int32, (wp, 1), 0)
+            col_valid = ((ca >= 2) & (ca <= w1 + 1)).astype(jnp.float32)
+            col_odd = (ca % 2 == 1).astype(jnp.float32)
+
+            def expand(row):
+                inter = jnp.stack([row, row], axis=1)
+                inter = inter.reshape(2 * wp2, row.shape[-1])
+                return _roll2_bf16(inter[:wp, :])
+
+            for k in range(t // 2):
+                lo_r = k + 1
+                zo = zsb[pl.ds(lo_r * wp2, wp2), :]
+                go = gsb[pl.ds(lo_r * wp2, wp2), :]
+                e_z = expand(zo)
+                e_g = expand(go).astype(jnp.float32)
+
+                m_top_bits_prev = None
+                for r in (2 * k, 2 * k + 1):
+                    zin_row = zref[pl.ds(r * wp, wp), :]
+                    m_eq = (zin_row.astype(jnp.float32)
+                            == e_z.astype(jnp.float32)).astype(jnp.float32)
+                    m_bits = pltpu.bitcast(m_eq.astype(jnp.bfloat16),
+                                           jnp.uint32)
+                    prev_even = pltpu.bitcast(_dup_lo(m_bits), jnp.bfloat16
+                                              ).astype(jnp.float32)
+                    if r % 2 == 0:
+                        route = m_eq * (1.0 - col_odd * prev_even)
+                        m_top_bits_prev = m_bits
+                    else:
+                        any_top = pltpu.bitcast(
+                            _dup_lo(m_top_bits_prev)
+                            | _dup_hi(m_top_bits_prev),
+                            jnp.bfloat16).astype(jnp.float32)
+                        route = (m_eq * (1.0 - any_top)
+                                 * (1.0 - col_odd * prev_even))
+                    q = jj * t + r
+                    row_ok = ((q >= 2) & (q <= h1 + 1)).astype(jnp.float32)
+                    prow = e_g * route * col_valid * row_ok
+                    dz_ref[pl.ds(r * wp, wp), :] = (
+                        dz[r * wp:(r + 1) * wp] + prow).astype(dz_ref.dtype)
 
         _with_prefetched_xs(gf_hbm, xs0, xs1, sem, tt, t, wp, xs_rows, last,
-                            body)
+                            body, haloed=haloed,
+                            extra_copies=(pool_copies
+                                          if pool_out is not None else None))
 
     return kernel
 
 
 def _flat_side_bwd_impl(zf, gf, kernel, g_in: FlatGeom, interpret: bool,
-                        extra=None):
+                        extra=None, src_haloed: bool = False, pool=None):
     """Tap-stacked backward for a narrow-d flat conv. gf: the flat
-    (rows, 128) cotangent buffer with zeros beyond lane d. ``extra``:
-    optional second dz contribution (same flat geometry) summed into the
-    output in the epilogue. Returns (dz (rows, c_pad) bf16,
-    dk (3,3,C,D) f32, db (D,) f32)."""
+    (rows, 128) cotangent buffer with zeros beyond lane d (haloed-core
+    layout when ``src_haloed``). ``extra``: optional second dz
+    contribution (same flat geometry) summed into the output in the
+    epilogue. ``pool``: (g_out, pooled_values, pooled_cotangent) — fuse
+    the stage-boundary pool BACKWARD into this kernel's epilogue (the
+    routed pool cotangent adds into dz; replaces extra). Returns
+    (dz (rows, c_pad) bf16, dk (3,3,C,D) f32, db (D,) f32)."""
     c, c_pad = g_in.c, g_in.c_pad
     d = kernel.shape[-1]
+    pool_g = None
+    if pool is not None:
+        assert extra is None
+        pool_g, zout, gout = pool
+        assert pool_g.c_pad == c_pad and 2 * pool_g.wp >= g_in.wp, (
+            pool_g, g_in)
+        assert g_in.t % 2 == 0, g_in
+        w2_rows = (g_in.t // 2 + 2) * pool_g.wp
     # G slot ``tap`` reads gf at +off_tap, so the dgrad stack holds the
     # FLIPPED kernel: KS[d*tap + dd, cc] = K[2-kh, 2-kw, cc, dd]
     kt = kernel.astype(jnp.bfloat16)[::-1, ::-1].transpose(
@@ -1405,8 +1607,13 @@ def _flat_side_bwd_impl(zf, gf, kernel, g_in: FlatGeom, interpret: bool,
                                      lambda tt: (tt, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(extra)
+    if pool is not None:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY),   # pooled values
+                     pl.BlockSpec(memory_space=pl.ANY)]   # pooled cotangent
+        operands += [zout, gout]
     dz, dk01, dk2, db = pl.pallas_call(
-        _side_bwd_kernel(g_in, d, with_extra=extra is not None),
+        _side_bwd_kernel(g_in, d, with_extra=extra is not None,
+                         src_haloed=src_haloed, pool_out=pool_g),
         out_shape=(
             jax.ShapeDtypeStruct((g_in.rows, c_pad), jnp.bfloat16),
             jax.ShapeDtypeStruct((c_pad, 128), jnp.float32),
@@ -1432,7 +1639,13 @@ def _flat_side_bwd_impl(zf, gf, kernel, g_in: FlatGeom, interpret: bool,
             pltpu.VMEM((xs_rows, 128), jnp.bfloat16),
             pltpu.VMEM((g_in.block_rows, c_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + ([
+            pltpu.VMEM((w2_rows, c_pad), jnp.bfloat16),   # zs0
+            pltpu.VMEM((w2_rows, c_pad), jnp.bfloat16),   # zs1
+            pltpu.VMEM((w2_rows, c_pad), jnp.bfloat16),   # gs0
+            pltpu.VMEM((w2_rows, c_pad), jnp.bfloat16),   # gs1
+            pltpu.SemaphoreType.DMA((2, 2)),              # psem
+        ] if pool is not None else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
@@ -1466,7 +1679,7 @@ def _side_fwd_kernel(g_in: FlatGeom, d: int):
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        def body(xs):
+        def body(xs, slot=0):
             o01[...] = jax.lax.dot_general(
                 xs[...], ks01_ref[...], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(jnp.bfloat16)
@@ -1601,11 +1814,13 @@ def _fsc_fwd(zf, kernel, g_in, interpret):
 
 def _fsc_bwd(g_in: FlatGeom, interpret, res, gf):
     zf, kernel = res
-    # NHWC cotangent -> flat buffer (zero lanes beyond D — load-bearing
-    # for the stacked kernel's roll-merge), then the tap-stacked kernel
-    gf_flat = to_flat(gf.astype(jnp.bfloat16),
-                      dataclasses.replace(g_in, c=kernel.shape[-1]))
-    dz, dk, _ = _flat_side_bwd_impl(zf, gf_flat, kernel, g_in, interpret)
+    # NHWC cotangent -> HALOED-CORE flat buffer (zero lanes beyond D —
+    # load-bearing for the stacked kernel's roll-merge): one pad pass
+    # instead of to_flat's two, then the tap-stacked kernel
+    gf_flat = to_flat_haloed(gf.astype(jnp.bfloat16),
+                             dataclasses.replace(g_in, c=kernel.shape[-1]))
+    dz, dk, _ = _flat_side_bwd_impl(zf, gf_flat, kernel, g_in, interpret,
+                                    src_haloed=True)
     return dz, dk.astype(kernel.dtype)
 
 
@@ -1638,29 +1853,34 @@ def flat_conv3x3_ref(zf, kernel, bias, g_in: FlatGeom,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flat_conv3x3_input(zf, kernel, bias, g_in: FlatGeom,
                        interpret: bool = False,
-                       relu_output: bool = False):
+                       relu_output: bool = False,
+                       src_haloed: bool = False):
     """Input-layer conv: like flat_conv3x3 but the input is NOT ReLU'd
     (it is the preprocessed image) and no input cotangent is produced
     (images are never differentiated — skipping the dgrad kernel saves a
-    full stage-1-sized pass in the backward)."""
+    full stage-1-sized pass in the backward). ``src_haloed``: zf is a
+    to_flat_haloed buffer (the one-pad input form)."""
     return _flat_conv_fwd_impl(zf, kernel, bias, g_in, kernel.shape[-1],
-                               False, interpret, relu_output=relu_output)
+                               False, interpret, relu_output=relu_output,
+                               src_haloed=src_haloed)
 
 
-def _fci_fwd(zf, kernel, bias, g_in, interpret, relu_output):
+def _fci_fwd(zf, kernel, bias, g_in, interpret, relu_output, src_haloed):
     out = _flat_conv_fwd_impl(zf, kernel, bias, g_in, kernel.shape[-1],
-                              False, interpret, relu_output=relu_output)
+                              False, interpret, relu_output=relu_output,
+                              src_haloed=src_haloed)
     return out, (zf, kernel)
 
 
-def _fci_bwd(g_in, interpret, relu_output, res, gf):
+def _fci_bwd(g_in, interpret, relu_output, src_haloed, res, gf):
     zf, kernel = res
     d = kernel.shape[-1]
     gf = gf.astype(jnp.bfloat16)
-    dk, db = _flat_conv_wgrad_impl(zf, gf, g_in, d, False, interpret)
+    dk, db = _flat_conv_wgrad_impl(zf, gf, g_in, d, False, interpret,
+                                   src_haloed=src_haloed)
     return jnp.zeros_like(zf), dk.astype(kernel.dtype), db
 
 
@@ -1801,6 +2021,16 @@ def pack_image(x: jnp.ndarray, gp: FlatGeom) -> jnp.ndarray:
     return to_flat(xp, gp)
 
 
+def pack_image_haloed(x: jnp.ndarray, gp: FlatGeom) -> jnp.ndarray:
+    """pack_image in the haloed-core layout (to_flat_haloed): ONE pad op
+    instead of two — consume with src_haloed=True kernels."""
+    n, h, w, c = x.shape
+    hp = _half_pad(c)
+    xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0),) * 3 + ((0, hp - c),))
+    xp = xp.reshape(n, h, w // 2, 2 * hp)
+    return to_flat_haloed(xp, gp)
+
+
 def packed_weights(kernel: jnp.ndarray, bias: jnp.ndarray):
     """K (3,3,ci,co), b (co,) -> Kp (3,3,2*hi,2*ho) bf16, bp (2*ho,) f32.
 
@@ -1930,32 +2160,38 @@ def _fcp_bwd(gp, interpret, relu_input, relu_output, res, gf):
 flat_conv3x3_packed.defvjp(_fcp_fwd, _fcp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flat_conv3x3_input_packed(zfp, kernel, bias, gp: FlatGeom,
                               interpret: bool = False,
-                              relu_output: bool = False):
-    """Packed stem: raw (packed) image in, no input ReLU, no dz."""
+                              relu_output: bool = False,
+                              src_haloed: bool = False):
+    """Packed stem: raw (packed) image in, no input ReLU, no dz.
+    ``src_haloed``: zfp is a pack_image_haloed buffer (one pad pass
+    instead of to_flat's two — the production online step packs the
+    drawn images every step, so the second full-buffer pad was ~0.84 ms
+    of pure zero-copying)."""
     kp, bp = packed_weights(kernel, bias)
     gi = dataclasses.replace(gp, c=kp.shape[2])
     merged = kp.shape[2] // 2 if _USE_MERGED_TAPS else 0
     return _flat_conv_fwd_impl(zfp, kp, bp, gi, kp.shape[3], False,
                                interpret, merged=merged,
-                               relu_output=relu_output)
+                               relu_output=relu_output,
+                               src_haloed=src_haloed)
 
 
-def _fcip_fwd(zfp, kernel, bias, gp, interpret, relu_output):
+def _fcip_fwd(zfp, kernel, bias, gp, interpret, relu_output, src_haloed):
     return flat_conv3x3_input_packed(zfp, kernel, bias, gp, interpret,
-                                     relu_output), (zfp, kernel)
+                                     relu_output, src_haloed), (zfp, kernel)
 
 
-def _fcip_bwd(gp, interpret, relu_output, res, gf):
+def _fcip_bwd(gp, interpret, relu_output, src_haloed, res, gf):
     zfp, kernel = res
     ci, co = kernel.shape[2], kernel.shape[3]
     hi, ho = _half_pad(ci), _half_pad(co)
     gi = dataclasses.replace(gp, c=2 * hi)
     gf = gf.astype(jnp.bfloat16)
     width = 2 * hi
-    if _USE_STACKED_STEM_WGRAD and 9 * width <= 128:
+    if _USE_STACKED_STEM_WGRAD and 9 * width <= 128 and not src_haloed:
         # the packed image is narrow enough to tap-STACK (one dot per
         # tile, _stem_wgrad_kernel) — but MEASURED a small LOSS (48.8 vs
         # 48.2 ms/step): with a single dot left, the 9-pass stack build
@@ -1970,7 +2206,8 @@ def _fcip_bwd(gp, interpret, relu_output, res, gf):
     else:
         merged = hi if _USE_MERGED_TAPS else 0
         dkp, dbp = _flat_conv_wgrad_impl(zfp, gf, gi, 2 * ho, False,
-                                         interpret, merged=merged)
+                                         interpret, merged=merged,
+                                         src_haloed=src_haloed)
         dk = (unpack_dk_merged_rows(dkp, ci, co, hi, ho) if merged
               else unpack_dk(dkp, ci, co))
     db = (dbp[:co] + dbp[ho:ho + co]).astype(jnp.float32)

@@ -39,7 +39,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from osvos_tpu.ops.pallas.flatconv import FlatGeom, _round_up
+from osvos_tpu.ops.pallas.flatconv import (FlatGeom, _dup_hi, _dup_lo,
+                                           _roll2_bf16, _round_up,
+                                           _shift_up2_inplace)
 
 
 def _dma_pipeline(tt, last, make_copies, body) -> None:
@@ -79,24 +81,6 @@ def _dma_pipeline(tt, last, make_copies, body) -> None:
         for cp in make_copies(tt, 0):
             cp.wait()
         body(0)
-
-
-def _shift_up2_inplace(xs, n_rows: int) -> None:
-    """xs[r] <- xs[r+2]: one aligned u32-word roll, chunks walk upward."""
-    n_w = n_rows // 2
-    ch = _round_up(-(-n_w // 8), 8)
-    for a in range(0, n_w, ch):
-        b = min(a + ch, n_w)
-        wv = pltpu.bitcast(xs[pl.ds(2 * (a + 1), 2 * (b - a)), :],
-                           jnp.uint32)
-        xs[pl.ds(2 * a, 2 * (b - a)), :] = pltpu.bitcast(wv, jnp.bfloat16)
-
-
-def _roll2_bf16(v):
-    """roll a bf16 (rows, C) value down 2 rows: one u32-word roll (the
-    hardware rotate only supports 32-bit data)."""
-    u = pltpu.bitcast(v, jnp.uint32)
-    return pltpu.bitcast(pltpu.roll(u, 1, axis=0), jnp.bfloat16)
 
 
 def _pair_max_row(m):
@@ -217,16 +201,6 @@ def pool_flat_fwd_pallas(zf, g_in: FlatGeom, g_out: FlatGeom,
             vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(zf)
-
-
-def _dup_lo(u):
-    lo = u & jnp.uint32(0xFFFF)
-    return lo | (lo << 16)
-
-
-def _dup_hi(u):
-    hi = u & jnp.uint32(0xFFFF0000)
-    return (u >> 16) | hi
 
 
 def _bwd_kernel(g_in: FlatGeom, g_out: FlatGeom):
@@ -675,6 +649,10 @@ import os as _os
 
 _FUSE_PACKED_CONV_POOL = _os.environ.get("OSVOS_FUSE_CONV_POOL", "1") != "0"
 
+# Fuse the stage-boundary pool BACKWARD into the side kernel's epilogue
+# (A/B knob; see _sap_bwd)
+_FUSE_POOL_BWD = _os.environ.get("OSVOS_FUSE_POOL_BWD", "1") != "0"
+
 
 def fuse_conv_pool_ok(gp: FlatGeom, g2: FlatGeom, width: int) -> bool:
     """Static gate for packed_conv_pool: mirrors the geometry the fused
@@ -790,17 +768,28 @@ def _sap_bwd(g_in: FlatGeom, g_out: FlatGeom, interpret, res, cts):
     import dataclasses as dc
 
     from osvos_tpu.ops.pallas.flatconv import (_flat_side_bwd_impl,
-                                               to_flat)
+                                               to_flat_haloed)
 
     zf, side_kernel, pooled = res
     d_side, d_pooled = cts
-    dz_pool = pool_flat_bwd_pallas(zf, pooled,
-                                   d_pooled.astype(jnp.bfloat16),
-                                   g_in, g_out, interpret)
-    gf_flat = to_flat(d_side.astype(jnp.bfloat16),
-                      dc.replace(g_in, c=side_kernel.shape[-1]))
-    dz, dk, _ = _flat_side_bwd_impl(zf, gf_flat, side_kernel, g_in,
-                                    interpret, extra=dz_pool)
+    # haloed-core cotangent: one pad pass instead of to_flat's two
+    gf_flat = to_flat_haloed(d_side.astype(jnp.bfloat16),
+                             dc.replace(g_in, c=side_kernel.shape[-1]))
+    if _FUSE_POOL_BWD:
+        # the pool backward routes INSIDE the side kernel's epilogue: the
+        # side kernel already streams the stage activation tile (the
+        # argmax reference), so the standalone pool-bwd kernel's full
+        # re-read of the stage buffer + the dz_pool write+re-read vanish
+        dz, dk, _ = _flat_side_bwd_impl(
+            zf, gf_flat, side_kernel, g_in, interpret, src_haloed=True,
+            pool=(g_out, pooled, d_pooled.astype(jnp.bfloat16)))
+    else:
+        dz_pool = pool_flat_bwd_pallas(zf, pooled,
+                                       d_pooled.astype(jnp.bfloat16),
+                                       g_in, g_out, interpret)
+        dz, dk, _ = _flat_side_bwd_impl(zf, gf_flat, side_kernel, g_in,
+                                        interpret, extra=dz_pool,
+                                        src_haloed=True)
     return dz, dk.astype(side_kernel.dtype)
 
 

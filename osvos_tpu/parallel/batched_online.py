@@ -306,6 +306,9 @@ def _fine_tune_rounds(params, opt_state, pool_imgs, pool_masks, step_keys,
         return (n_real, take(params), take(opt_state), take(pool_imgs),
                 take(pool_masks), _pad_to(step_keys[r0:r0 + n_real], d))
 
+    import os as _os
+
+    prefetch = _os.environ.get("OSVOS_ROUNDS_PREFETCH", "1") != "0"
     out_params, out_losses = [], []
     staged = stage(0)
     for r0 in range(0, s, d):
@@ -318,10 +321,13 @@ def _fine_tune_rounds(params, opt_state, pool_imgs, pool_masks, step_keys,
         # round dispatches are in flight: stage round r+1's transfers NOW
         # so the host->device pool copies ride under this round's compute
         # instead of serializing ahead of the next round's first chunk
-        if r0 + d < s:
+        # (env-gated off for A/B: OSVOS_ROUNDS_PREFETCH=0)
+        if prefetch and r0 + d < s:
             staged = stage(r0 + d)
         out_params.append(jax.tree.map(lambda a: a[:n_real], p_r))
         out_losses.append(jnp.concatenate(losses_r, axis=1)[:n_real])
+        if not prefetch and r0 + d < s:
+            staged = stage(r0 + d)
 
     if len(out_params) == 1:
         return out_params[0], out_losses[0]

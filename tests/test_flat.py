@@ -117,6 +117,40 @@ def test_fused_bwd_xpose_matches_rows_contraction(rng, monkeypatch):
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("geom_tuple", GEOMS[:3])
+def test_haloed_core_layout_matches_standard(rng, geom_tuple):
+    """The one-pad haloed-core input layout (to_flat_haloed +
+    src_haloed=True) must give the exact same conv results — forward and
+    weight gradients — as the lead/tail layout, on the stem op (the only
+    production consumer class: manually-DMA'd, never differentiated
+    w.r.t. the buffer)."""
+    from osvos_tpu.ops.pallas.flatconv import (flat_conv3x3_input,
+                                               to_flat_haloed)
+
+    g, zf, k, b = _mk(rng, geom_tuple)
+    x = from_flat(zf, g)  # the same bf16 image both layouts pack
+    zf_h = to_flat_haloed(x, g)
+
+    out_std = flat_conv3x3_input(zf, k, b, g, True, True)
+    out_hal = flat_conv3x3_input(zf_h, k, b, g, True, True, True)
+    np.testing.assert_array_equal(np.asarray(out_std, np.float32),
+                                  np.asarray(out_hal, np.float32))
+
+    # weight gradients through the wgrad kernel's haloed DMA path
+    r = jnp.asarray(rng.randn(*out_std.shape).astype(np.float32))
+    dk_std, db_std = jax.grad(
+        lambda kk, bb: jnp.sum(flat_conv3x3_input(zf, kk, bb, g, True,
+                                                  True).astype(jnp.float32)
+                               * r), argnums=(0, 1))(k, b)
+    dk_hal, db_hal = jax.grad(
+        lambda kk, bb: jnp.sum(flat_conv3x3_input(zf_h, kk, bb, g, True,
+                                                  True,
+                                                  True).astype(jnp.float32)
+                               * r), argnums=(0, 1))(k, b)
+    np.testing.assert_array_equal(np.asarray(dk_std), np.asarray(dk_hal))
+    np.testing.assert_array_equal(np.asarray(db_std), np.asarray(db_hal))
+
+
 def test_flat_roundtrip(rng):
     g = FlatGeom(n=2, h=7, w=13, c=5, t=4)
     x = jnp.asarray(rng.randn(2, 7, 13, 5).astype(np.float32))

@@ -100,6 +100,7 @@ def _cbbce_stats(logits: jnp.ndarray, labels: jnp.ndarray,
     grid = rows // _TILE_ROWS
     stats = pl.pallas_call(
         _stats_kernel,
+        name="cbbce_stats",
         out_shape=jax.ShapeDtypeStruct((1, 4), jnp.float32),
         grid=(grid,),
         in_specs=[
@@ -127,6 +128,7 @@ def _cbbce_grad(logits: jnp.ndarray, labels: jnp.ndarray,
     grid = rows // _TILE_ROWS
     dx = pl.pallas_call(
         _grad_kernel,
+        name="cbbce_grad",
         out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
         grid=(grid,),
         in_specs=[
@@ -195,6 +197,7 @@ def _cbbce_stats_per_sample(logits: jnp.ndarray, labels: jnp.ndarray,
     # (1, 4) spec lowered in interpret mode but not on the chip)
     stats = pl.pallas_call(
         kernel,
+        name="cbbce_stats_ps",
         out_shape=jax.ShapeDtypeStruct((b, 4), jnp.float32),
         grid=(b, tiles),
         in_specs=[
@@ -235,6 +238,7 @@ def _cbbce_grad_per_sample(logits: jnp.ndarray, labels: jnp.ndarray,
 
     dx = pl.pallas_call(
         kernel,
+        name="cbbce_grad_ps",
         out_shape=jax.ShapeDtypeStruct((b, rows, _LANES), jnp.float32),
         grid=(b, tiles),
         in_specs=[

@@ -133,8 +133,20 @@ def stage_t(h: int) -> int:
     t=32 for the mid stages was measured SLOWER (49.1 vs 48.2 ms/step)
     despite identical hp — halving the tile count coarsens the DMA
     double-buffering and VMEM pressure more than it saves in per-tile
-    overhead."""
-    if h >= 480 or h + 4 <= 40:
+    overhead. The fused-bwd kernels pay a per-dot weight-(re)load that
+    only rows-per-dot amortizes, so SMALL stages want the largest t that
+    doesn't inflate hp: h=30 at t=36 runs one 2560-row tile per image
+    (hp=36, jt=1) instead of five 512-row tiles (A/B'd on chip).
+    ``OSVOS_STAGE_T`` ("h:t,h:t") overrides per-resolution for A/Bs."""
+    ov = _os.environ.get("OSVOS_STAGE_T")
+    if ov:
+        for pair in ov.split(","):
+            hh, tt = pair.split(":")
+            if int(hh) == h:
+                return int(tt)
+    if h + 4 <= 40:
+        return _round_up(h + 4, 4)  # one tile per image
+    if h >= 480:
         return 8
     return 16
 
@@ -224,6 +236,15 @@ _TIMING_BARE = False
 import os as _os
 
 _WGRAD_XPOSE = _os.environ.get("OSVOS_WGRAD_XPOSE", "1") != "0"
+# transposed-wgrad lane-width gate (bench_wgrad_orient: win at 512 lanes,
+# neutral at 256 standalone — but inside the fused kernel the one transpose
+# replaces NINE per-dot operand transposes, so the threshold is A/B'd
+# end-to-end; override for experiments)
+_WGRAD_XPOSE_MIN = int(_os.environ.get("OSVOS_WGRAD_XPOSE_MIN", "512"))
+# TIMING-ONLY ablation for the fused backward (wrong numerics; see
+# scripts/bench_bwd_ablate.py): one of "", "nodgrad", "nowgrad",
+# "noshift", "nodb", "noepi"
+_BWD_ABLATE = _os.environ.get("OSVOS_BWD_ABLATE", "")
 
 
 def _shift_up_1(xs, n_rows: int) -> None:
@@ -379,7 +400,8 @@ def _ordered_after(anchor, fn):
 
 def _with_prefetched_xs(src_hbm, xs0, xs1, sem, tt, t: int, wp: int,
                         xs_rows: int, last: int, body,
-                        haloed=None, extra_copies=None) -> None:
+                        haloed=None, extra_copies=None,
+                        pre_rows: int = 0) -> None:
     """Double-buffered halo DMA across grid steps.
 
     The back-to-back ``start(); wait()`` form serializes every tile's
@@ -422,7 +444,8 @@ def _with_prefetched_xs(src_hbm, xs0, xs1, sem, tt, t: int, wp: int,
                 (nj // jt) * stride + ((nj % jt) * t + 1) * wp - _LEAD_ROWS,
                 16)
         else:
-            off = pl.multiple_of((tile_idx * t - 1) * wp - _LEAD_ROWS, 16)
+            off = pl.multiple_of(
+                (tile_idx * t - 1) * wp - _LEAD_ROWS - pre_rows, 16)
         return pltpu.make_async_copy(src_hbm.at[pl.ds(off, xs_rows)],
                                      xs_ref, sem_ref)
 
@@ -786,6 +809,9 @@ def _flat_conv_fwd_impl(zf: jnp.ndarray, kernel: jnp.ndarray,
     out = pl.pallas_call(
         _fwd_kernel(g_in, g_in.h, g_in.w, relu_input, merged, relu_output,
                     pool, src_haloed),
+        name=(f"fconv_fwd_c{c}d{d}_h{g_in.h}w{g_in.w}"
+              + ("_mrg" if merged else "")
+              + ("_pool" if pool_out is not None else "")),
         out_shape=out_shape,
         grid=(d_tiles, g_in.total_tiles),
         in_specs=[
@@ -872,6 +898,7 @@ def _flat_conv_dgrad_impl(gf: jnp.ndarray, kernel: jnp.ndarray,
     xs_rows = _LEAD_ROWS + (g_in.t + 2) * g_in.wp + 32
     out = pl.pallas_call(
         _dgrad_kernel(g_geom),
+        name=f"fconv_dgrad_c{c}d{d}_h{g_in.h}w{g_in.w}",
         out_shape=jax.ShapeDtypeStruct((g_in.rows, c_pad), jnp.bfloat16),
         grid=(o_tiles, g_in.total_tiles),
         in_specs=[
@@ -986,6 +1013,8 @@ def _flat_conv_wgrad_impl(zf: jnp.ndarray, gf: jnp.ndarray, g_in: FlatGeom,
         scratch.append(pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16))
     dk, db = pl.pallas_call(
         _wgrad_kernel(g_in, relu_input, merged, src_haloed),
+        name=(f"fconv_wgrad_c{c}d{d}_h{g_in.h}w{g_in.w}"
+              + ("_mrg" if merged else "")),
         out_shape=(
             jax.ShapeDtypeStruct((n_taps, c_pad, d_pad), jnp.float32),
             jax.ShapeDtypeStruct((8, d_pad), jnp.float32),
@@ -1028,20 +1057,119 @@ def _flat_conv_wgrad_impl(zf: jnp.ndarray, gf: jnp.ndarray, g_in: FlatGeom,
 
 
 def _bwd_fused_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0,
-                      xpose: bool = False):
+                      xpose: bool = False, pool_in=None):
     wp, t = g_in.wp, g_in.t
     k_rows = g_in.block_rows
-    xs_rows = _LEAD_ROWS + (t + 2) * wp + 32
+    # pool_in: the cotangent source is the fused conv+pool output — the
+    # packed pool BACKWARD (flatpool._pp_bwd_kernel's routing, verbatim)
+    # runs in this kernel's PROLOGUE against the conv-output window and
+    # the pooled value/cotangent windows, writing gf into the xs slot in
+    # place. One extra h-row is DMA'd at the front (pre = wp) so the halo
+    # row q = j*t-1 has its pair-top (q-1) available for the tie routing.
+    pre = wp if pool_in is not None else 0
+    lead = _LEAD_ROWS + pre
+    tap_rows = (t + 2) * wp + pre
+    xs_rows = _LEAD_ROWS + tap_rows + 32
     last = g_in.total_tiles - 1
+    jt1 = g_in.jt
+    if pool_in is not None:
+        g2, half = pool_in
+        assert merged, "pool_in requires the packed (merged-tap) path"
+        wp2 = g2.wp
+        assert wp2 == wp and t % 2 == 0, (wp2, wp, t)
+        w2_rows = (t // 2 + 2) * wp2
+        h1, co = g_in.h, g2.c
+        w_odd = (2 * g_in.w) % 2 == 1
+        last_col = g2.w + 1
 
-    def kernel(gf_hbm, kref, zref, dz_ref, dk_ref, db_ref, xs0, xs1, acc,
-               sem, *rest):
-        if xpose:
-            zt, opt_ym = rest[0], rest[1:]
+    def kernel(*refs):
+        if pool_in is not None:
+            (gf_hbm, pz_hbm, pg_hbm, kref, zref, dz_ref, dk_ref, db_ref,
+             xs0, xs1, acc, sem) = refs[:12]
+            rest = refs[12:]
         else:
-            zt, opt_ym = None, rest
+            (gf_hbm, kref, zref, dz_ref, dk_ref, db_ref,
+             xs0, xs1, acc, sem) = refs[:10]
+            rest = refs[10:]
+        if xpose:
+            zt, rest = rest[0], rest[1:]
+        else:
+            zt = None
+        if pool_in is not None:
+            zs0, zs1, gs0, gs1, psem = rest[:5]
+            opt_ym = rest[5:]
+        else:
+            opt_ym = rest
         tt = pl.program_id(0)
         edge = (tt == 0) | (tt == last)
+
+        def pool_copies(tile, slot):
+            j = (tile - 1) % jt1
+            nimg = (tile - 1) // jt1
+            off = pl.multiple_of(
+                (g2.t + nimg * g2.hp + (j * t) // 2) * wp2, 16)
+            zsb = zs0 if slot == 0 else zs1
+            gsb = gs0 if slot == 0 else gs1
+            return (
+                pltpu.make_async_copy(pz_hbm.at[pl.ds(off, w2_rows)],
+                                      zsb, psem.at[0, slot]),
+                pltpu.make_async_copy(pg_hbm.at[pl.ds(off, w2_rows)],
+                                      gsb, psem.at[1, slot]),
+            )
+
+        def route_pool(xs, slot):
+            # flatpool._pp_bwd_kernel routing on the window's t+3 h-rows
+            # (q = j*t-2 .. j*t+t): reference row-major-first argmax tie
+            # order on the packed lane-half / row-pair layout. Rows read
+            # their zin (conv output) value first, then are overwritten
+            # with the routed cotangent; pairs are (2k, 2k+1) — the extra
+            # front row makes the window pair-aligned.
+            zsb = zs0 if slot == 0 else zs1
+            gsb = gs0 if slot == 0 else gs1
+            j = (tt - 1) % jt1
+            ss = jax.lax.broadcasted_iota(jnp.int32, (wp2, 1), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (wp2, 128), 1)
+            is_hi = (lane >= half) & (lane < 2 * half)
+            ch_ok = (((lane % half) < co) if half > co
+                     else (lane < 2 * half))
+            col_ok = ((ss >= 2) & (ss <= last_col) & ch_ok
+                      & (lane < 2 * half))
+            if w_odd:
+                col_ok = col_ok & ~(is_hi & (ss == last_col))
+            is_hif = is_hi.astype(jnp.float32)
+            for k in range(t // 2 + 2):
+                zo = zsb[pl.ds(k * wp2, wp2), :]
+                go = gsb[pl.ds(k * wp2, wp2), :]
+                e_z = zo + _kernel_lane_shift(zo, half)
+                e_g = (go + _kernel_lane_shift(go, half)).astype(jnp.float32)
+                rows = ((2 * k, 2 * k + 1) if 2 * k + 1 <= t + 2
+                        else (2 * k,))
+                zin_rows = [xs[pl.ds(_LEAD_ROWS + r * wp, wp2), :]
+                            for r in rows]
+                m_top = None
+                outs = []
+                for idx, r in enumerate(rows):
+                    q = j * t - 2 + r
+                    m_eq = jnp.where(
+                        col_ok & (zin_rows[idx].astype(jnp.float32)
+                                  == e_z.astype(jnp.float32)),
+                        jnp.float32(1), jnp.float32(0))
+                    partner = pltpu.roll(m_eq, half, axis=1)
+                    if idx == 0:
+                        route = m_eq * (1.0 - is_hif * partner)
+                        m_top = m_eq
+                    else:
+                        any_top = jnp.maximum(
+                            m_top,
+                            jnp.maximum(
+                                pltpu.roll(m_top, half, axis=1),
+                                pltpu.roll(m_top, (-half) % 128, axis=1)))
+                        route = (m_eq * (1.0 - any_top)
+                                 * (1.0 - is_hif * partner))
+                    row_ok = ((q >= 2) & (q <= h1 + 1)).astype(jnp.float32)
+                    outs.append((e_g * route * row_ok).astype(xs.dtype))
+                for idx, r in enumerate(rows):
+                    xs[pl.ds(_LEAD_ROWS + r * wp, wp2), :] = outs[idx]
 
         @pl.when(tt == 0)
         def _():
@@ -1053,6 +1181,8 @@ def _bwd_fused_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0,
             dz_ref[...] = jnp.zeros_like(dz_ref)
 
         def body(xs, slot=0):
+            if pool_in is not None:
+                route_pool(xs, slot)
             if relu_input:
                 zref[...] = jnp.maximum(zref[...], jnp.bfloat16(0))
             if xpose:
@@ -1063,8 +1193,12 @@ def _bwd_fused_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0,
 
             def phase(src, kidx, widx, first, stride=3):
                 for kh in range(3):
+                    if _BWD_ABLATE == "nodgrad":
+                        if first and kh == 0:
+                            acc[...] = jnp.zeros_like(acc)
+                        break
                     d = jax.lax.dot_general(
-                        src[pl.ds(_LEAD_ROWS + kh * wp, k_rows), :],
+                        src[pl.ds(lead + kh * wp, k_rows), :],
                         kref[kh * stride + kidx],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
@@ -1072,45 +1206,54 @@ def _bwd_fused_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0,
                         acc[...] = d
                     else:
                         acc[...] += d
+                if _BWD_ABLATE == "nowgrad":
+                    return
                 for kh in range(3):
                     if xpose:
                         dk_ref[(2 - kh) * stride + widx] += (
                             jax.lax.dot_general(
                                 zt[...],
-                                src[pl.ds(_LEAD_ROWS + kh * wp, k_rows), :],
+                                src[pl.ds(lead + kh * wp, k_rows), :],
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32))
                     else:
                         dk_ref[(2 - kh) * stride + widx] += (
                             jax.lax.dot_general(
                                 zref[...],
-                                src[pl.ds(_LEAD_ROWS + kh * wp, k_rows), :],
+                                src[pl.ds(lead + kh * wp, k_rows), :],
                                 (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32))
 
             if merged:
                 ym = opt_ym[0]
-                _merge_pairs_to(ym, xs, (t + 2) * wp, merged)
+                _merge_pairs_to(ym, xs, tap_rows, merged)
                 phase(xs, 0, 0, True, stride=1)   # dense taps
                 phase(ym, 3, 3, False, stride=1)  # merged cross-pair taps
             else:
                 ym1, ym2 = opt_ym
-                _copy_shifted(ym1, xs, (t + 2) * wp, 1)
-                _copy_shifted(ym2, xs, (t + 2) * wp, -1)
+                if _BWD_ABLATE != "noshift":
+                    _copy_shifted(ym1, xs, tap_rows, 1)
+                    _copy_shifted(ym2, xs, tap_rows, -1)
                 phase(xs, 1, 1, True)
                 phase(ym1, 2, 0, False)
                 phase(ym2, 0, 2, False)
-            db_ref[0:1, :] += jnp.sum(
-                xs[pl.ds(_LEAD_ROWS + wp, k_rows), :].astype(jnp.float32),
-                axis=0, keepdims=True)
+            if _BWD_ABLATE != "nodb":
+                db_ref[0:1, :] += jnp.sum(
+                    xs[pl.ds(lead + wp, k_rows), :].astype(jnp.float32),
+                    axis=0, keepdims=True)
 
+            if _BWD_ABLATE == "noepi":
+                dz_ref[...] = acc[...].astype(dz_ref.dtype)
+                return
             # ReLU backward + pad mask (zref holds relu(z); z pads are 0)
             zmask = zref[...].astype(jnp.float32) > 0.0
             dz_ref[...] = jnp.where(zmask, acc[...],
                                     0.0).astype(dz_ref.dtype)
 
         _with_prefetched_xs(gf_hbm, xs0, xs1, sem, tt, t, wp, xs_rows, last,
-                            body)
+                            body, pre_rows=pre,
+                            extra_copies=(pool_copies
+                                          if pool_in is not None else None))
 
     return kernel
 
@@ -1118,7 +1261,7 @@ def _bwd_fused_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0,
 def _flat_conv_bwd_fused_impl(zf: jnp.ndarray, gf: jnp.ndarray,
                               kernel: jnp.ndarray, g_in: FlatGeom, d: int,
                               relu_input: bool, interpret: bool,
-                              merged: int = 0
+                              merged: int = 0, pool_in=None
                               ) -> Tuple[jnp.ndarray, jnp.ndarray,
                                          jnp.ndarray]:
     """One-pass backward: returns (dz (rows, c_pad) bf16, dk, db (D,) f32).
@@ -1128,7 +1271,14 @@ def _flat_conv_bwd_fused_impl(zf: jnp.ndarray, gf: jnp.ndarray,
     Unmerged, dk is the unpadded (3, 3, C, D) f32. With ``merged`` (packed
     pair layout; kernel must be the packed (3,3,2hi,2ho) weights), dk is
     the RAW (6, c_pad, d_pad) tap accumulator — decode with
-    ``unpack_dk_merged_cols``."""
+    ``unpack_dk_merged_cols``.
+
+    ``pool_in`` = (zout, pooled, d_pooled_bf16, g2): the conv output fed a
+    fused 2x2/2 ceil-mode pool (packed_conv_pool) and ``gf`` is IGNORED —
+    the pool backward's argmax routing runs in this kernel's prologue
+    against zout/pooled windows (one kernel instead of pool-bwd + conv-bwd;
+    the full-buffer gf write + re-read and the pool kernel's zout re-read
+    all disappear)."""
     c, c_pad = g_in.c, g_in.c_pad
     d_pad = _lane_pad(d)
     kflip = kernel.astype(jnp.bfloat16)[::-1, ::-1].transpose(0, 1, 3, 2)
@@ -1139,11 +1289,12 @@ def _flat_conv_bwd_fused_impl(zf: jnp.ndarray, gf: jnp.ndarray,
         kp = merge_packed_taps(kp, d // 2, merged)
         n_taps = 6
 
-    xs_rows = _LEAD_ROWS + (g_in.t + 2) * g_in.wp + 32
+    pre = g_in.wp if pool_in is not None else 0
+    xs_rows = _LEAD_ROWS + (g_in.t + 2) * g_in.wp + 32 + pre
     # once-per-tile transposed z for MXU-native wgrad dots: a win only on
     # wide-lane operands (bench_wgrad_orient: ~+18% at 512 lanes, neutral
     # at 256, a small LOSS at 128 where rows-contraction is already fine)
-    xpose = _WGRAD_XPOSE and c_pad >= 512
+    xpose = _WGRAD_XPOSE and c_pad >= _WGRAD_XPOSE_MIN
     scratch = [
         pltpu.VMEM((xs_rows, d_pad), jnp.bfloat16),
         pltpu.VMEM((xs_rows, d_pad), jnp.bfloat16),
@@ -1152,25 +1303,53 @@ def _flat_conv_bwd_fused_impl(zf: jnp.ndarray, gf: jnp.ndarray,
     ]
     if xpose:
         scratch.append(pltpu.VMEM((c_pad, g_in.block_rows), jnp.bfloat16))
+    kernel_pool = None
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # gf / zout stays in HBM
+        pl.BlockSpec((n_taps, d_pad, c_pad), lambda tt: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g_in.block_rows, c_pad), lambda tt: (tt, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if pool_in is not None:
+        zout, pooled, d_pooled, g2 = pool_in
+        assert merged and d == d_pad == 128, (merged, d, d_pad)
+        assert g2.wp == g_in.wp and g_in.t % 2 == 0, (g2, g_in)
+        assert g2.c_pad == 128 and g2.c <= d // 2, g2
+        kernel_pool = (g2, d // 2)
+        w2_rows = (g_in.t // 2 + 2) * g2.wp
+        # pooled value/cotangent windows ride the same double-buffered
+        # slot schedule as the zout windows (extra_copies)
+        scratch += [
+            pltpu.VMEM((w2_rows, 128), jnp.bfloat16),   # zs0
+            pltpu.VMEM((w2_rows, 128), jnp.bfloat16),   # zs1
+            pltpu.VMEM((w2_rows, 128), jnp.bfloat16),   # gs0
+            pltpu.VMEM((w2_rows, 128), jnp.bfloat16),   # gs1
+            pltpu.SemaphoreType.DMA((2, 2)),            # psem
+        ]
+        in_specs = ([in_specs[0],
+                     pl.BlockSpec(memory_space=pl.ANY),   # pooled z
+                     pl.BlockSpec(memory_space=pl.ANY)]   # pooled ct
+                    + in_specs[1:])
+        operands = (zout, pooled, d_pooled, kp, zf)
+    else:
+        operands = (gf, kp, zf)
     # merged: one cross-pair operand buffer; unmerged: two out-of-place
     # shifted-tap buffers (barrier-free dots)
     for _ in range(1 if merged else 2):
         scratch.append(pltpu.VMEM((xs_rows, d_pad), jnp.bfloat16))
     dz, dk, db = pl.pallas_call(
-        _bwd_fused_kernel(g_in, relu_input, merged, xpose),
+        _bwd_fused_kernel(g_in, relu_input, merged, xpose, kernel_pool),
+        name=(f"fconv_bwd_c{c}d{d}_h{g_in.h}w{g_in.w}"
+              + ("_mrg" if merged else "") + ("_xp" if xpose else "")
+              + ("_pool" if pool_in is not None else "")),
         out_shape=(
             jax.ShapeDtypeStruct((g_in.rows, c_pad), jnp.bfloat16),
             jax.ShapeDtypeStruct((n_taps, c_pad, d_pad), jnp.float32),
             jax.ShapeDtypeStruct((8, d_pad), jnp.float32),
         ),
         grid=(g_in.total_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # gf stays in HBM
-            pl.BlockSpec((n_taps, d_pad, c_pad), lambda tt: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g_in.block_rows, c_pad), lambda tt: (tt, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((g_in.block_rows, c_pad), lambda tt: (tt, 0),
                          memory_space=pltpu.VMEM),
@@ -1183,7 +1362,7 @@ def _flat_conv_bwd_fused_impl(zf: jnp.ndarray, gf: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
-    )(gf, kp, zf)
+    )(*operands)
     if merged:
         return dz, dk, db[0, :d]
     dk = dk.reshape(3, 3, c_pad, d_pad)[:, :, :c, :d]
@@ -1349,6 +1528,7 @@ def _stem_wgrad_stacked_impl(zfp, gf, g_in: FlatGeom, d_pad: int,
     xs_rows = _LEAD_ROWS + (g_in.t + 2) * g_in.wp + 32
     dk, db = pl.pallas_call(
         _stem_wgrad_kernel(g_in, width),
+        name=f"stem_wgrad_h{g_in.h}w{g_in.w}",
         out_shape=(
             jax.ShapeDtypeStruct((128, d_pad), jnp.float32),
             jax.ShapeDtypeStruct((8, d_pad), jnp.float32),
@@ -1614,6 +1794,9 @@ def _flat_side_bwd_impl(zf, gf, kernel, g_in: FlatGeom, interpret: bool,
     dz, dk01, dk2, db = pl.pallas_call(
         _side_bwd_kernel(g_in, d, with_extra=extra is not None,
                          src_haloed=src_haloed, pool_out=pool_g),
+        name=(f"side_bwd_c{g_in.c}_h{g_in.h}w{g_in.w}"
+              + ("_xtra" if extra is not None else "")
+              + ("_pool" if pool_g is not None else "")),
         out_shape=(
             jax.ShapeDtypeStruct((g_in.rows, c_pad), jnp.bfloat16),
             jax.ShapeDtypeStruct((c_pad, 128), jnp.float32),
@@ -1745,6 +1928,7 @@ def _flat_side_fwd_impl(zf, kernel, g_in: FlatGeom, interpret: bool):
     g_out = dataclasses.replace(g_in, c=d)
     out = pl.pallas_call(
         _side_fwd_kernel(g_in, d),
+        name=f"side_fwd_c{g_in.c}_h{g_in.h}w{g_in.w}",
         out_shape=jax.ShapeDtypeStruct((g_out.rows, 128), jnp.bfloat16),
         grid=(g_in.total_tiles,),
         in_specs=[

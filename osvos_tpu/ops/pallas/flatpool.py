@@ -184,6 +184,7 @@ def pool_flat_fwd_pallas(zf, g_in: FlatGeom, g_out: FlatGeom,
     xs_rows = (2 * g_out.t + 2) * g_in.wp
     return pl.pallas_call(
         _fwd_kernel(g_in, g_out),
+        name=f"pool_fwd_c{g_in.c}_h{g_in.h}w{g_in.w}",
         out_shape=jax.ShapeDtypeStruct((g_out.rows, g_out.c_pad),
                                        jnp.bfloat16),
         grid=(g_out.total_tiles,),
@@ -307,6 +308,7 @@ def pool_flat_bwd_pallas(zin, zout, gout, g_in: FlatGeom, g_out: FlatGeom,
     w2_rows = (g_in.t // 2 + 2) * g_out.wp
     return pl.pallas_call(
         _bwd_kernel(g_in, g_out),
+        name=f"pool_bwd_c{g_in.c}_h{g_in.h}w{g_in.w}",
         out_shape=jax.ShapeDtypeStruct((g_in.rows, g_in.c_pad),
                                        jnp.bfloat16),
         grid=(g_in.total_tiles,),
@@ -439,6 +441,7 @@ def pool_packed_fwd_pallas(zfp, gp: FlatGeom, g_out: FlatGeom,
     xs_rows = (2 * g_out.t + 2) * gp.wp
     return pl.pallas_call(
         _pp_fwd_kernel(gp, g_out, half),
+        name=f"ppool_fwd_h{gp.h}w{gp.w}",
         out_shape=jax.ShapeDtypeStruct((g_out.rows, g_out.c_pad),
                                        jnp.bfloat16),
         grid=(g_out.total_tiles,),
@@ -567,6 +570,7 @@ def pool_packed_bwd_pallas(zin, zout, gout, gp: FlatGeom, g_out: FlatGeom,
     w2_rows = (gp.t // 2 + 2) * g_out.wp
     return pl.pallas_call(
         _pp_bwd_kernel(gp, g_out, gp.c // 2),
+        name=f"ppool_bwd_h{gp.h}w{gp.w}",
         out_shape=jax.ShapeDtypeStruct((gp.rows, gp.c_pad), jnp.bfloat16),
         grid=(gp.total_tiles,),
         in_specs=[
@@ -713,12 +717,22 @@ def _pcp_bwd(gp: FlatGeom, g_out: FlatGeom, interpret, res, cts):
     ci, co = kernel.shape[2], kernel.shape[3]
     hi, ho = _half_pad(ci), _half_pad(co)
     gi_out = dc.replace(gp, c=2 * ho)
-    gf = pool_packed_bwd_pallas(zout, pooled, d_pooled.astype(jnp.bfloat16),
-                                gi_out, g_out, interpret)
     kp, _ = packed_weights(kernel, jnp.zeros((co,), jnp.float32))
     gi = dc.replace(gp, c=kp.shape[2])
-    dz, dkp, dbp = _flat_conv_bwd_fused_impl(zfp, gf, kp, gi, kp.shape[3],
-                                             False, interpret, merged=hi)
+    if _FUSE_POOL_BWD:
+        # one kernel: the pool backward's argmax routing runs in the conv
+        # backward's prologue (the standalone pool-bwd kernel's zout
+        # re-read and the full gf write + re-read disappear)
+        dz, dkp, dbp = _flat_conv_bwd_fused_impl(
+            zfp, None, kp, gi, kp.shape[3], False, interpret, merged=hi,
+            pool_in=(zout, pooled, d_pooled.astype(jnp.bfloat16), g_out))
+    else:
+        gf = pool_packed_bwd_pallas(zout, pooled,
+                                    d_pooled.astype(jnp.bfloat16),
+                                    gi_out, g_out, interpret)
+        dz, dkp, dbp = _flat_conv_bwd_fused_impl(zfp, gf, kp, gi,
+                                                 kp.shape[3],
+                                                 False, interpret, merged=hi)
     dk = unpack_dk_merged_cols(dkp, ci, co, hi, ho)
     db = (dbp[:co] + dbp[ho:ho + co]).astype(jnp.float32)
     return dz, dk.astype(kernel.dtype), db

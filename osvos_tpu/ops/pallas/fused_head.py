@@ -107,7 +107,8 @@ def fused_upsample_sigmoid_u8(
                         memory_space=pltpu.SMEM)]
     )
     return pl.pallas_call(
-        _tail_kernel(n),
+        name="fused_head_tail",
+        kernel=_tail_kernel(n),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.uint8),
         grid=(b,),
         in_specs=in_specs,

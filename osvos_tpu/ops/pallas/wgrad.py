@@ -166,7 +166,8 @@ def wgrad3x3(x: jnp.ndarray, g: jnp.ndarray,
                  ).reshape(n * hg * wp, d_pad)
 
     out = pl.pallas_call(
-        _kernel(wp, hp, c_pad, d_blk),
+        name="wgrad3x3",
+        kernel=_kernel(wp, hp, c_pad, d_blk),
         out_shape=jax.ShapeDtypeStruct((3, 3, c_pad, d_pad), jnp.float32),
         grid=(d_tiles, n, h_tiles),
         in_specs=[

@@ -454,15 +454,20 @@ PCP_GEOMS = [
 ]
 
 
+@pytest.mark.parametrize("fuse_bwd", [True, False])
 @pytest.mark.parametrize("gt", PCP_GEOMS)
-def test_packed_conv_pool_equals_unfused(rng, gt):
+def test_packed_conv_pool_equals_unfused(rng, gt, fuse_bwd, monkeypatch):
     """The fused last-conv + stage-boundary pool (pool rides the conv
     epilogue, packed_conv_pool) must equal flat_conv3x3_packed followed
     by pool_packed_p exactly — values and all three gradients, including
-    argmax tie routing on bf16-rounded duplicates."""
+    argmax tie routing on bf16-rounded duplicates. Both backward routes
+    are covered: fuse_bwd=True runs the pool routing inside the conv
+    backward's prologue (pool_in), False the standalone pool-bwd kernel."""
     import dataclasses as dc
 
     from osvos_tpu.ops.pallas import flatpool as fp
+
+    monkeypatch.setattr(fp, "_FUSE_POOL_BWD", fuse_bwd)
     from osvos_tpu.ops.pallas.flatconv import (_half_pad, flat_conv3x3_packed,
                                                pack_image, packed_geom,
                                                pool_out_geom, stage_t)

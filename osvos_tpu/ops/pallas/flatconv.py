@@ -1841,26 +1841,159 @@ def _flat_side_bwd_impl(zf, gf, kernel, g_in: FlatGeom, interpret: bool,
     return dz, dk, db
 
 
-def _side_fwd_kernel(g_in: FlatGeom, d: int):
+def _pair_max_words(v):
+    """bf16 (2m, C) -> f32 (m, C) max of row pairs (2k, 2k+1), riding the
+    sublane-pair u32 word packing (lane-half unpack via ``<<16`` /
+    ``&0xffff0000`` f32 bitcasts — flatpool._pair_max_row's trick)."""
+    u = pltpu.bitcast(v, jnp.uint32)
+    lo = pltpu.bitcast(u << 16, jnp.float32)
+    hi = pltpu.bitcast(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    return jnp.maximum(lo, hi)
+
+
+def _side_fwd_kernel(g_in: FlatGeom, d: int, pool=None):
     """Tap-stacked side FORWARD: one 2-tile dot computes every tap's
     projection O[u, d*t + dd] = (K_t^T x[u])[dd] over the halo'd input,
     then side[s] = sum_t O[s + off_t] collapses with rolled +-1-row
     reads on the VPU — ~2.3 row-streams instead of 9 (the rolled
-    garbage lands outside lanes [0, d) and is masked by the epilogue)."""
+    garbage lands outside lanes [0, d) and is masked by the epilogue).
+
+    ``pool``: (g2,) — ALSO emit the stage-boundary ceil-mode 2x2/2 max
+    pool of the streamed activation into a natural-layout g2 buffer: the
+    side kernel already streams every stage row, so the standalone pool
+    kernel's full re-read of the stage buffer disappears. One extra
+    h-row is DMA'd at the window front (pre = wp) so pool pair
+    q = j*t - 2 is present; the vertical max is two window rows, the
+    horizontal max the u32 sublane-pair trick (post-relu values and
+    exact-zero pads make ceil-mode free: max(x, 0) == x)."""
     wp, t = g_in.wp, g_in.t
     k_rows = g_in.block_rows
-    xs_rows = _LEAD_ROWS + (t + 2) * wp + 32
+    pre = wp if pool is not None else 0
+    xs_rows = _LEAD_ROWS + (t + 2) * wp + 32 + pre
     jt, last = g_in.jt, g_in.total_tiles - 1
     h_ok, w_ok = g_in.h, g_in.w
     assert 8 * d <= 128 and d % 4 == 0, d
+    if pool is not None:
+        (g2,) = pool
+        wp2, halfw = g2.wp, wp // 2
+        t2w = (t // 2) * wp2
+        gap = g2.hp - jt * (t // 2)  # uncovered hp-pad rows per image
+        p_len = min(halfw - 1, wp2 - 2)  # stored pooled cols per row
+        assert t % 2 == 0 and p_len >= g2.w, (t, p_len, g2)
 
-    def kernel(xf_hbm, ks01_ref, ks2_ref, out_ref, xs0, xs1, o01, o2, sem):
+    def kernel(*refs):
+        if pool is not None:
+            (xf_hbm, ks01_ref, ks2_ref, out_ref, pooled_hbm,
+             xs0, xs1, o01, o2, sem, pb0, pb1, zbuf, psem, zsem) = refs
+        else:
+            (xf_hbm, ks01_ref, ks2_ref, out_ref,
+             xs0, xs1, o01, o2, sem) = refs
         tt = pl.program_id(0)
         edge = (tt == 0) | (tt == last)
 
         @pl.when(edge)
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
+
+        if pool is not None:
+            # pooled-buffer lead/tail zeroing + per-tile DMA: the same
+            # machinery as the packed conv+pool epilogue (_fwd_kernel)
+            def zero_dma(dst_off: int, rows: int):
+                cp = pltpu.make_async_copy(
+                    zbuf.at[pl.ds(0, rows)],
+                    pooled_hbm.at[pl.ds(dst_off, rows)], zsem)
+                cp.start()
+                cp.wait()
+
+            def pcopy(tile, pb):
+                # conv tile (n, j) pools to padded pooled rows
+                # [j*(t//2), (j+1)*(t//2)) of image n (pair q = j*t-2+2i
+                # -> pooled padded row q/2 + 1 = j*(t//2) + i)
+                jj = (tile - 1) % jt
+                nn = (tile - 1) // jt
+                off = g2.block_rows + (nn * g2.hp + jj * (t // 2)) * wp2
+                return pltpu.make_async_copy(
+                    pb, pooled_hbm.at[pl.ds(off, t2w)], psem.at[tile % 2])
+
+            @pl.when(tt == 0)
+            def _():
+                zbuf[...] = jnp.zeros_like(zbuf)
+                # DMA must read zbuf AFTER the zero store; anchor on a
+                # full-buffer reduction so the dependency covers every
+                # stored row (see the packed epilogue's hazard note)
+                anchor = jnp.sum(zbuf[...].astype(jnp.float32))
+
+                @pl.when(anchor * jnp.float32(0) != jnp.float32(1))
+                def _():
+                    for a in range(0, g2.block_rows, t2w):
+                        zero_dma(a, min(t2w, g2.block_rows - a))
+
+            @pl.when(tt == last)
+            def _():
+                base = g2.rows - g2.block_rows
+                for a in range(0, g2.block_rows, t2w):
+                    zero_dma(base + a, min(t2w, g2.block_rows - a))
+                for tprev in (last - 2, last - 1):
+                    if tprev >= 1:
+                        pcopy(tprev, pb0 if tprev % 2 == 0 else pb1).wait()
+
+        def _pool_epilogue(xs, j):
+            # window h-row r holds input padded row j*t - 2 + r; pool
+            # pair i reads rows (2i, 2i+1); _pair_max_words word k then
+            # covers padded cols (2k, 2k+1) = pixel pair (2k-2, 2k-1)
+            # -> pooled pixel k-1 -> drop word 0 and store at padded
+            # col offset 2 (an f32-native sublane shift; the bf16-odd
+            # roll this avoids is the expensive one)
+            def pool_into(pb):
+                for i in range(t // 2):
+                    va = xs[pl.ds(_LEAD_ROWS + 2 * i * wp, wp), :]
+                    vb = xs[pl.ds(_LEAD_ROWS + (2 * i + 1) * wp, wp), :]
+                    mx = _pair_max_words(jnp.maximum(va, vb))
+                    pb[pl.ds(i * wp2 + 2, p_len), :] = (
+                        mx[1:1 + p_len].astype(jnp.bfloat16))
+                it2 = jax.lax.broadcasted_iota(jnp.int32, (t2w, 1), 0)
+                p = j * (t // 2) + it2 // wp2
+                u = it2 % wp2
+                ok = ((p >= 2) & (p <= g2.h + 1) & (u >= 2)
+                      & (u <= g2.w + 1))
+                pb[...] = jnp.where(ok, pb[...], jnp.bfloat16(0))
+                # DMA must read pb AFTER the stores above (full-buffer
+                # anchor; same hazard as zbuf)
+                anchor = jnp.sum(pb[...].astype(jnp.float32))
+
+                @pl.when(anchor * jnp.float32(0) != jnp.float32(1))
+                def _():
+                    pcopy(tt, pb).start()
+
+            # slot tt%2 last carried tile tt-2's copy: drain before reuse
+            @pl.when((tt >= 3) & (tt % 2 == 0))
+            def _():
+                pcopy(tt - 2, pb0).wait()
+
+            @pl.when((tt >= 3) & (tt % 2 == 1))
+            def _():
+                pcopy(tt - 2, pb1).wait()
+
+            @pl.when(tt % 2 == 0)
+            def _():
+                pool_into(pb0)
+
+            @pl.when(tt % 2 == 1)
+            def _():
+                pool_into(pb1)
+
+            # rows [jt*(t//2), g2.hp) of each image are hp-rounding pad
+            # never produced by any tile: zero them at the image's last
+            # tile (zbuf was zeroed at tt == 0 and never rewritten)
+            if gap > 0:
+                nn = (tt - 1) // jt
+
+                @pl.when(j == jt - 1)
+                def _():
+                    base = g2.block_rows + (nn * g2.hp
+                                            + jt * (t // 2)) * wp2
+                    for a in range(0, gap * wp2, t2w):
+                        zero_dma(base + a, min(t2w, gap * wp2 - a))
 
         def body(xs, slot=0):
             o01[...] = jax.lax.dot_general(
@@ -1878,7 +2011,7 @@ def _side_fwd_kernel(g_in: FlatGeom, d: int):
                 for tap, (kh, kw) in enumerate(
                         (kh, kw) for kh in range(3) for kw in range(3)):
                     src = o2 if tap == 8 else o01
-                    base = 2 * a + kh * wp
+                    base = 2 * a + kh * wp + pre
                     w = pltpu.bitcast(
                         src[pl.ds(base, 2 * (b - a) + 18), :], jnp.uint32)
                     if kw == 2:
@@ -1905,16 +2038,23 @@ def _side_fwd_kernel(g_in: FlatGeom, d: int):
             valid = ((h_p >= 2) & (h_p <= h_ok + 1)
                      & (w_p >= 2) & (w_p <= w_ok + 1) & (lane < d))
             out_ref[...] = jnp.where(valid, out_ref[...], jnp.bfloat16(0))
+            if pool is not None:
+                _pool_epilogue(xs, j)
 
         _with_prefetched_xs(xf_hbm, xs0, xs1, sem, tt, t, wp, xs_rows, last,
-                            body)
+                            body, pre_rows=pre)
 
     return kernel
 
 
-def _flat_side_fwd_impl(zf, kernel, g_in: FlatGeom, interpret: bool):
+def _flat_side_fwd_impl(zf, kernel, g_in: FlatGeom, interpret: bool,
+                        pool_out: "FlatGeom" = None):
     """Tap-stacked side forward; returns the (rows, 128) flat buffer of
-    the d-channel side output (no bias, no output relu)."""
+    the d-channel side output (no bias, no output relu).
+
+    ``pool_out``: also emit the ceil-mode 2x2/2 max pool of ``zf`` into
+    this natural-layout geometry (one kernel for the stage boundary's
+    both consumers — see _side_fwd_kernel); returns (side, pooled)."""
     c, c_pad = g_in.c, g_in.c_pad
     d = kernel.shape[-1]
     # ksT[cc, d*t + dd] = K[kh, kw, cc, dd] (no flip — forward taps)
@@ -1924,12 +2064,40 @@ def _flat_side_fwd_impl(zf, kernel, g_in: FlatGeom, interpret: bool):
     ks01 = jnp.pad(kt[:, :8 * d], ((0, 0), (0, 128 - 8 * d)))
     ks2 = jnp.pad(kt[:, 8 * d:], ((0, 0), (0, 128 - d)))
 
-    xs_rows = _LEAD_ROWS + (g_in.t + 2) * g_in.wp + 32
+    pre = g_in.wp if pool_out is not None else 0
+    xs_rows = _LEAD_ROWS + (g_in.t + 2) * g_in.wp + 32 + pre
     g_out = dataclasses.replace(g_in, c=d)
+    out_shape = jax.ShapeDtypeStruct((g_out.rows, 128), jnp.bfloat16)
+    out_specs = pl.BlockSpec((g_in.block_rows, 128), lambda tt: (tt, 0),
+                             memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16),
+        pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16),
+        pltpu.VMEM((xs_rows, 128), jnp.bfloat16),
+        pltpu.VMEM((xs_rows, 128), jnp.bfloat16),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    kernel_pool = None
+    if pool_out is not None:
+        g2 = pool_out
+        assert g2.c == g_in.c and g2.c_pad == c_pad, (g2, g_in)
+        kernel_pool = (g2,)
+        t2w = (g_in.t // 2) * g2.wp
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((g2.rows, g2.c_pad), jnp.bfloat16))
+        out_specs = (out_specs, pl.BlockSpec(memory_space=pl.ANY))
+        scratch += [
+            pltpu.VMEM((t2w, g2.c_pad), jnp.bfloat16),   # pb0
+            pltpu.VMEM((t2w, g2.c_pad), jnp.bfloat16),   # pb1
+            pltpu.VMEM((t2w, g2.c_pad), jnp.bfloat16),   # zbuf
+            pltpu.SemaphoreType.DMA((2,)),               # psem
+            pltpu.SemaphoreType.DMA,                     # zsem
+        ]
     out = pl.pallas_call(
-        _side_fwd_kernel(g_in, d),
-        name=f"side_fwd_c{g_in.c}_h{g_in.h}w{g_in.w}",
-        out_shape=jax.ShapeDtypeStruct((g_out.rows, 128), jnp.bfloat16),
+        _side_fwd_kernel(g_in, d, kernel_pool),
+        name=(f"side_fwd_c{g_in.c}_h{g_in.h}w{g_in.w}"
+              + ("_pool" if pool_out is not None else "")),
+        out_shape=out_shape,
         grid=(g_in.total_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # zf stays in HBM
@@ -1938,15 +2106,8 @@ def _flat_side_fwd_impl(zf, kernel, g_in: FlatGeom, interpret: bool):
             pl.BlockSpec((c_pad, 128), lambda tt: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((g_in.block_rows, 128), lambda tt: (tt, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16),
-            pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16),
-            pltpu.VMEM((xs_rows, 128), jnp.bfloat16),
-            pltpu.VMEM((xs_rows, 128), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,

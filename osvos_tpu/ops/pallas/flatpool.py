@@ -657,6 +657,22 @@ _FUSE_PACKED_CONV_POOL = _os.environ.get("OSVOS_FUSE_CONV_POOL", "1") != "0"
 # (A/B knob; see _sap_bwd)
 _FUSE_POOL_BWD = _os.environ.get("OSVOS_FUSE_POOL_BWD", "1") != "0"
 
+# Fuse the stage-boundary pool FORWARD into the side kernel's epilogue
+# (A/B knob; see side_and_pool / flatconv._side_fwd_kernel)
+_FUSE_POOL_FWD = _os.environ.get("OSVOS_FUSE_POOL_FWD", "1") != "0"
+
+
+def fuse_pool_fwd_ok(g_in: FlatGeom, g2: FlatGeom) -> bool:
+    """Static gate for the fused side+pool forward: mirrors the geometry
+    _side_fwd_kernel's pool epilogue supports (even t, pooled dims the
+    ceil of the input's, stored pooled columns covering the valid
+    width)."""
+    p_len = min(g_in.wp // 2 - 1, g2.wp - 2)
+    return (_FUSE_POOL_FWD and g_in.t % 2 == 0
+            and g2.c == g_in.c and g2.c_pad == g_in.c_pad
+            and g2.h == -(-g_in.h // 2) and g2.w == -(-g_in.w // 2)
+            and p_len >= g2.w and g2.hp >= g_in.jt * (g_in.t // 2))
+
 
 def fuse_conv_pool_ok(gp: FlatGeom, g2: FlatGeom, width: int) -> bool:
     """Static gate for packed_conv_pool: mirrors the geometry the fused
@@ -759,7 +775,10 @@ def side_and_pool(zf, side_kernel, g_in: FlatGeom, g_out: FlatGeom,
     and the 2x2 pool; fused here so the BACKWARD's stage-boundary merge
     ``dz = dz_side + dz_pool`` rides the side kernel's epilogue (one
     streamed add) instead of a separate full-buffer XLA add_any
-    (~0.7 ms/step across the three fused boundaries at 480p batch 5).
+    (~0.7 ms/step across the three fused boundaries at 480p batch 5),
+    and the FORWARD pool rides the side kernel too (the side already
+    streams every stage row — the standalone pool kernel's full re-read
+    of the stage buffer disappears; OSVOS_FUSE_POOL_FWD=0 for A/Bs).
     Used by the flat trunk for stages 2-4 (stage 5 has no pool, stage 1
     no side); equals the unfused pair exactly."""
     import dataclasses as dc
@@ -767,8 +786,12 @@ def side_and_pool(zf, side_kernel, g_in: FlatGeom, g_out: FlatGeom,
     from osvos_tpu.ops.pallas.flatconv import (_flat_side_fwd_impl,
                                                from_flat)
 
-    pooled = pool_flat_fwd_pallas(zf, g_in, g_out, interpret)
-    sf = _flat_side_fwd_impl(zf, side_kernel, g_in, interpret)
+    if fuse_pool_fwd_ok(g_in, g_out):
+        sf, pooled = _flat_side_fwd_impl(zf, side_kernel, g_in, interpret,
+                                         pool_out=g_out)
+    else:
+        pooled = pool_flat_fwd_pallas(zf, g_in, g_out, interpret)
+        sf = _flat_side_fwd_impl(zf, side_kernel, g_in, interpret)
     side = from_flat(sf, dc.replace(g_in, c=side_kernel.shape[-1]))
     return side, pooled
 

@@ -28,6 +28,7 @@ import numpy as np
 SHAPES = {  # name -> (h, w, c, d)
     "s2c1": (240, 427, 128, 128),
     "s3c12": (120, 214, 256, 256),
+    "s4c0": (60, 107, 256, 512),
     "s4c12": (60, 107, 512, 512),
     "s5": (30, 54, 512, 512),
 }

@@ -641,16 +641,29 @@ def test_side_conv_tap_stacked_matches_twin(rng, geom_tuple):
                                atol=3e-2 * scale_k)
 
 
-def test_side_and_pool_equals_unfused(rng):
+@pytest.mark.parametrize("fuse_fwd", [True, False])
+@pytest.mark.parametrize("geom_tuple", [
+    (2, 10, 14, 8, 8, 4, 4),   # generic small
+    (2, 10, 13, 8, 8, 4, 4),   # odd w (w-ceil pair reads the zero pad col)
+    (1, 10, 24, 8, 8, 4, 4),   # wp2 == wp/2: stored-cols clip active
+    (1, 12, 14, 8, 8, 4, 8),   # pooled t > t/2 coverage: gap rows zeroed
+])
+def test_side_and_pool_equals_unfused(rng, geom_tuple, fuse_fwd,
+                                      monkeypatch):
     """The fused (side_temp, pooled) composite must equal the separate
     flat_side_conv3x3 + pool_flat_p pair, values AND gradients (the
-    backward fuses the stage-boundary dz merge)."""
+    backward fuses the stage-boundary dz merge; with fuse_fwd the pool
+    forward rides the side kernel's epilogue too)."""
     from osvos_tpu.ops.pallas.flatconv import flat_side_conv3x3
+    from osvos_tpu.ops.pallas import flatpool as fp
     from osvos_tpu.ops.pallas.flatpool import pool_flat_p, side_and_pool
 
-    n, h, w, c, d = 2, 10, 14, 8, 8
-    g = FlatGeom(n=n, h=h, w=w, c=c, t=4)
-    g2 = FlatGeom(n=n, h=-(-h // 2), w=-(-w // 2), c=c, t=4)
+    monkeypatch.setattr(fp, "_FUSE_POOL_FWD", fuse_fwd)
+    n, h, w, c, d, t, t2 = geom_tuple
+    g = FlatGeom(n=n, h=h, w=w, c=c, t=t)
+    g2 = FlatGeom(n=n, h=-(-h // 2), w=-(-w // 2), c=c, t=t2)
+    if fuse_fwd:
+        assert fp.fuse_pool_fwd_ok(g, g2), (g, g2)
     x = jnp.maximum(jnp.asarray(rng.randn(n, h, w, c).astype(np.float32)),
                     0)
     zf = to_flat(x, g)

@@ -317,24 +317,38 @@ def _merge_pairs_to(ym, xs, n_rows: int, half: int) -> None:
             jnp.where(lane < half, prev_hi, next_lo), jnp.bfloat16)
 
 
-def _copy_shifted(ym, xs, n_rows: int, delta: int) -> None:
-    """ym[r] <- xs[r + delta] (delta in {-1, +1}) over the tap region,
+def _copy_shifted(ym, xs, n_rows: int, delta: int, lane_off: int = None
+                  ) -> None:
+    """ym[r] <- xs[r + delta] (delta in {-1, +1, 0}) over the tap region,
     OUT OF PLACE: xs is only read, so the consuming dots need no
     write-after-read ordering against the other phases — removing the
     _ordered_after barriers between shift passes and dots lets Mosaic
     overlap these VPU passes with the dense-phase MXU work. Same u32
-    sublane-pair trick as the in-place shifts."""
+    sublane-pair trick as the in-place shifts.
+
+    ``lane_off``: store into lanes [lane_off, lane_off + width(xs)) of a
+    WIDER ym (the [xs|ym+1|ym-1] lane-stacked wgrad operand; must be a
+    multiple of 128 so the store stays tile-aligned). delta == 0 is the
+    plain copy for that stacked buffer's block 0."""
     n_sh = n_rows // 2 + 8
     ch = _round_up(-(-n_sh // 8), 8)
+    d_pad = xs.shape[-1]
     for a in range(8, 8 + n_sh, ch):
         b = min(a + ch, 8 + n_sh)
-        w = pltpu.bitcast(xs[pl.ds(2 * (a - 8), 2 * (b - a) + 18), :],
-                          jnp.uint32)
-        if delta == 1:
-            out = (w[8:8 + (b - a)] >> 16) | (w[9:9 + (b - a)] << 16)
+        if delta == 0:
+            outv = xs[pl.ds(2 * (a - 8) + 16, 2 * (b - a)), :]
         else:
-            out = (w[7:7 + (b - a)] >> 16) | (w[8:8 + (b - a)] << 16)
-        ym[pl.ds(2 * a, 2 * (b - a)), :] = pltpu.bitcast(out, jnp.bfloat16)
+            w = pltpu.bitcast(xs[pl.ds(2 * (a - 8), 2 * (b - a) + 18), :],
+                              jnp.uint32)
+            if delta == 1:
+                out = (w[8:8 + (b - a)] >> 16) | (w[9:9 + (b - a)] << 16)
+            else:
+                out = (w[7:7 + (b - a)] >> 16) | (w[8:8 + (b - a)] << 16)
+            outv = pltpu.bitcast(out, jnp.bfloat16)
+        if lane_off is None:
+            ym[pl.ds(2 * a, 2 * (b - a)), :] = outv
+        else:
+            ym[pl.ds(2 * a, 2 * (b - a)), pl.ds(lane_off, d_pad)] = outv
 
 
 def merge_packed_taps(k9: jnp.ndarray, a: int, b: int) -> jnp.ndarray:
@@ -1057,7 +1071,7 @@ def _flat_conv_wgrad_impl(zf: jnp.ndarray, gf: jnp.ndarray, g_in: FlatGeom,
 
 
 def _bwd_fused_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0,
-                      xpose: bool = False, pool_in=None):
+                      xpose: bool = False, pool_in=None, wide: bool = False):
     wp, t = g_in.wp, g_in.t
     k_rows = g_in.block_rows
     # pool_in: the cotangent source is the fused conv+pool output — the

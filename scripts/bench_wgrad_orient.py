@@ -12,6 +12,12 @@ This bench isolates the orientation question on kernel-realistic shapes:
   xpose9  transpose z ONCE in-kernel, then 9 canonical (1,0) dots
   pre9    9 canonical dots from a PRE-transposed zT operand (the upper
           bound if the transpose were free)
+  rows3w  3 rows-contraction dots (one per kh row offset) against a
+          lane-stacked WIDE operand (k_rows, 3*d) — the [xs|ym1|ym2]
+          restructure: in the real kernel the shifted-tap copies
+          already exist, so the wide buffer costs no extra copies and
+          the MXU streams 3x more output columns per operand load
+  rows1w  1 rows-contraction dot at N=9*d (stacking upper bound)
 
 Each dot reads a DIFFERENT row (lane for zT) offset of its operand, like
 the real kernels' taps, so Mosaic cannot CSE the nine dots into one.
@@ -59,6 +65,7 @@ def main() -> None:
 
     def make_bench(variant: str, k_rows: int, c: int, d: int):
         n_dots = 1 if variant == "rows1" else 9
+        wide = {"rows3w": 3, "rows1w": 9}.get(variant, 0)
 
         def kernel(z_ref, g_ref, zt_ref, dk_ref, *scr):
             it = pl.program_id(0)
@@ -71,6 +78,20 @@ def main() -> None:
                 for t in range(n_dots):
                     dk_ref[t] += jax.lax.dot_general(
                         z_ref[pl.ds(16 * t, k_rows), :], g_ref[...],
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            elif wide:
+                gw = scr[0]
+                for kw in range(wide):
+                    # in the real kernel these copies replace the
+                    # EXISTING shifted-tap copies (same traffic); here
+                    # they are counted so the variant's cost is honest
+                    gw[pl.ds(0, k_rows), pl.ds(kw * d, d)] = (
+                        g_ref[pl.ds(0, k_rows), :])
+                for t in range(9 // wide):
+                    dk_ref[t] += jax.lax.dot_general(
+                        z_ref[pl.ds(16 * t, k_rows), :],
+                        gw[pl.ds(16 * t, k_rows), :],
                         (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
             elif variant == "xpose9":
@@ -94,11 +115,15 @@ def main() -> None:
         scratch = []
         if variant == "xpose9":
             scratch.append(pltpu.VMEM((c, k_rows), jnp.bfloat16))
+        if wide:
+            scratch.append(pltpu.VMEM((k_rows + _PAD, wide * d),
+                                      jnp.bfloat16))
+        out_sh = ((9 // wide, c, wide * d) if wide else (9, c, d))
 
         def run(z, g, zt):
             return pl.pallas_call(
                 kernel,
-                out_shape=jax.ShapeDtypeStruct((9, c, d), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct(out_sh, jnp.float32),
                 grid=(args.iters,),
                 in_specs=[
                     pl.BlockSpec((k_rows + _PAD, c), lambda i: (0, 0),
@@ -108,7 +133,7 @@ def main() -> None:
                     pl.BlockSpec((c, k_rows + _PAD), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
-                out_specs=pl.BlockSpec((9, c, d), lambda i: (0, 0, 0),
+                out_specs=pl.BlockSpec(out_sh, lambda i: (0, 0, 0),
                                        memory_space=pltpu.VMEM),
                 scratch_shapes=scratch,
                 compiler_params=pltpu.CompilerParams(

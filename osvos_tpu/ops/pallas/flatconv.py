@@ -243,8 +243,17 @@ _WGRAD_XPOSE = _os.environ.get("OSVOS_WGRAD_XPOSE", "1") != "0"
 _WGRAD_XPOSE_MIN = int(_os.environ.get("OSVOS_WGRAD_XPOSE_MIN", "512"))
 # TIMING-ONLY ablation for the fused backward (wrong numerics; see
 # scripts/bench_bwd_ablate.py): one of "", "nodgrad", "nowgrad",
-# "noshift", "nodb", "noepi"
+# "noshift", "nodb", "noepi". Because these branches silently corrupt
+# gradients, a non-empty value additionally requires the acknowledgement
+# var OSVOS_BWD_ABLATE_ACK=1 (the bench script sets it) — an env var
+# accidentally inherited by a training process fails loudly instead.
 _BWD_ABLATE = _os.environ.get("OSVOS_BWD_ABLATE", "")
+if _BWD_ABLATE and _os.environ.get("OSVOS_BWD_ABLATE_ACK") != "1":
+    raise RuntimeError(
+        f"OSVOS_BWD_ABLATE={_BWD_ABLATE!r} disables gradient terms in the "
+        "fused backward (TIMING-ONLY, wrong numerics). Set "
+        "OSVOS_BWD_ABLATE_ACK=1 to confirm this is a timing run, or unset "
+        "OSVOS_BWD_ABLATE.")
 
 
 def _shift_up_1(xs, n_rows: int) -> None:

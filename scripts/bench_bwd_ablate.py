@@ -23,6 +23,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# This harness is the one legitimate OSVOS_BWD_ABLATE consumer; flatconv
+# refuses a non-empty ablation without this acknowledgement so the var
+# cannot silently corrupt gradients in a training process.
+os.environ.setdefault("OSVOS_BWD_ABLATE_ACK", "1")
+
 import numpy as np
 
 SHAPES = {  # name -> (h, w, c, d)

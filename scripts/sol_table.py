@@ -93,7 +93,10 @@ def kernel_inventory(n: int, h: int, w: int, stages, side_ch: int = 16):
         rows = n * gs.jt * gs.t * gs.wp
         if i < n_stages - 1:
             sname = f"side_bwd_c{c}_h{hh}w{ww}_pool"
-            fname = f"side_fwd_c{c}_h{hh}w{ww}"  # side_and_pool fwd
+            # fused pool fwd (the default) names the kernel ..._pool; the
+            # join below falls back to the un-suffixed name when the trace
+            # was captured with OSVOS_FUSE_POOL_FWD=0
+            fname = f"side_fwd_c{c}_h{hh}w{ww}_pool"
         else:
             sname = f"side_bwd_c{c}_h{hh}w{ww}"
             fname = f"side_fwd_c{c}_h{hh}w{ww}"
@@ -133,7 +136,14 @@ def main():
                 measured[nm] = measured.get(nm, 0) + e.get("dur", 0)
 
     # several inventory rows share a kernel name (identical geometry =>
-    # identical cost): split the trace aggregate evenly across them
+    # identical cost): split the trace aggregate evenly across them.
+    # Fusion-gate env vars toggle a _pool suffix on some kernels; resolve
+    # each inventory name to whichever variant the trace actually holds.
+    def resolve(name):
+        alt = name[:-5] if name.endswith("_pool") else name + "_pool"
+        return name if name in measured or alt not in measured else alt
+
+    inv = [(resolve(name), tm, what) for name, tm, what in inv]
     ncopies = collections.Counter(name for name, _, _ in inv)
     tot_sol = tot_ms = 0.0
     print(f"{'kernel':46s} {'SOL ms':>7s} {'meas':>7s} {'eff':>5s}  what")

@@ -459,10 +459,23 @@ def batched_infer(
 
     out = np.empty((s, t_max, h, w), np.uint8)
     buf = np.empty((s, chunk_t, h, w, 3), np.float32)
+    # rows whose buffer content is already entirely the pad frame (a
+    # short sequence in a later chunk) need no re-fill
+    row_all_pad = [False] * s
     for t0 in range(0, t_max, chunk_t):
         tc = min(chunk_t, t_max - t0)
         for si in range(s):
-            for tj in range(chunk_t):  # final chunk padded: one executable
-                buf[si, tj] = frame_at(si, min(t0 + tj, t_max - 1))
+            t_end = t_counts[si] if ragged else t_max
+            n_live = min(tc, max(t_end - t0, 0))
+            if ragged:
+                for tj in range(n_live):
+                    buf[si, tj] = frames[si][t0 + tj]
+            elif n_live:
+                buf[si, :n_live] = frames[si, t0:t0 + n_live]
+            if n_live < chunk_t:  # pad tail: one broadcast of the last
+                if not (n_live == 0 and row_all_pad[si]):  # live frame
+                    buf[si, n_live:] = np.asarray(
+                        frame_at(si, t_end - 1), np.float32)
+            row_all_pad[si] = n_live == 0
         out[:, t0:t0 + tc] = np.asarray(run_stack(buf))[:, :tc]
     return out

@@ -338,14 +338,22 @@ class OSVOS(nn.Module):
                 ks, bs = _ConvParams3x3(in_features=g.c,
                                         features=cfg.side_channels,
                                         name=f"side_prep{i}")()
+                side_flat = None
                 if cfg.flat_side == "stacked":
                     # Pallas forward + Pallas tap-stacked backward: the
                     # nine taps stack into two 128-lane operands built
                     # in-kernel, so the side's dgrad+wgrad run 2+2
                     # row-streams instead of 9+9 (51.4 -> 49.5 ms/step;
                     # see flat_side_conv3x3 / ModelConfig.flat_side).
+                    # The side activation STAYS IN THE FLAT LAYOUT: the
+                    # collapsed head below consumes it through one flat
+                    # 1x1 dot, so neither the 16-of-128-lane from_flat
+                    # slice nor the backward's NHWC->flat re-pad is paid
+                    # (0.43 + 0.43 ms/step at s2 alone, perfetto r5a).
                     from osvos_tpu.ops.pallas.flatconv import (
-                        flat_side_conv3x3)
+                        flat_side_conv3x3_fl)
+                    from osvos_tpu.ops.pallas.flatpool import (
+                        side_and_pool_fl)
 
                     if i < len(cfg.stages) - 1:
                         # fuse this stage's side with the NEXT stage's
@@ -353,11 +361,12 @@ class OSVOS(nn.Module):
                         # rides the side kernel's epilogue instead of a
                         # full-buffer add (see flatpool.side_and_pool)
                         g2 = pool_out_geom(g, stage_t(-(-g.h // 2)))
-                        side_temp, zp = side_and_pool(zf, ks, g, g2,
-                                                      interp)
+                        side_flat, zp = side_and_pool_fl(zf, ks, g, g2,
+                                                         interp)
                         flat_pooled = (zp, g2)
                     else:
-                        side_temp = flat_side_conv3x3(zf, ks, g, interp)
+                        side_flat = flat_side_conv3x3_fl(zf, ks, g,
+                                                         interp)
                 elif cfg.flat_side == "xla":
                     # The flat kernels price a conv at row-streams x taps x
                     # lane TILES — a 16-channel side output pays a full
@@ -378,8 +387,11 @@ class OSVOS(nn.Module):
                         sf, dataclasses.replace(g, c=cfg.side_channels))
                 # bias is added in XLA (not a kernel epilogue): its
                 # gradient is cancellation-heavy and this keeps the same
-                # excess-precision reduce the 'fast' path gets.
-                side_temp = side_temp + bs.astype(side_temp.dtype)
+                # excess-precision reduce the 'fast' path gets. (The
+                # flat-layout side folds it into the collapse constants
+                # below instead: (side + b) @ w == side @ w + b @ w.)
+                if side_flat is None:
+                    side_temp = side_temp + bs.astype(side_temp.dtype)
             else:
                 x = max_pool_ceil(x)
                 for j, width in enumerate(widths):
@@ -398,6 +410,45 @@ class OSVOS(nn.Module):
             # (116.5 -> measured anew in bench extra_metrics).
             collapse_fuse = (mode in ("infer", "infer_parts")
                              or cfg.compute_mode != "parity")
+            if flat and side_flat is not None:
+                # flat-space collapsed head: ONE (rows, 128) x (128, 2)
+                # f32 dot yields [fuse-contribution | score_dsn] straight
+                # from the flat side buffer (flat always collapses —
+                # compute_mode != 'parity'); the side bias and score
+                # bias fold into per-channel constants. Replaces the
+                # NHWC from_flat slice + two NHWC 1x1 passes, and its
+                # autodiff hands the side kernel a flat cotangent with
+                # zero lanes beyond D (the weight pad rows) for free.
+                sl = slice((i - 1) * cfg.side_channels,
+                           i * cfg.side_channels)
+                ksc, bsc = _Conv1x1Params(in_features=cfg.side_channels,
+                                          name=f"score_dsn{i}")()
+                w_f = fuse_kernel[0, 0, sl, 0].astype(jnp.float32)
+                w_s = ksc[0, 0, :, 0]
+                wcat = jnp.stack([w_f, w_s], axis=1)  # (16, 2) f32
+                wpad = jnp.pad(wcat,
+                               ((0, 128 - cfg.side_channels), (0, 0)))
+                b2 = jnp.stack([bs @ w_f, bs @ w_s + bsc[0]])
+                flat2 = side_flat.astype(jnp.float32) @ wpad
+                both = from_flat(flat2,
+                                 dataclasses.replace(g, c=2)) + b2
+                contrib = both[..., :1]
+                if mode == "infer_parts":
+                    fused_contribs.append(contrib)
+                else:
+                    fused_contribs.append(center_crop(
+                        bilinear_upsample(contrib, factor,
+                                          precision=f32_prec,
+                                          method=up_method),
+                        crop_h, crop_w))
+                if mode in ("infer", "infer_parts"):
+                    continue
+                score = both[..., 1:]
+                side_logits.append(center_crop(
+                    bilinear_upsample(score, factor,
+                                      precision=lax.Precision.HIGHEST,
+                                      method=up_method), crop_h, crop_w))
+                continue
             if collapse_fuse:
                 sl = slice((i - 1) * cfg.side_channels, i * cfg.side_channels)
                 w_i = fuse_kernel[0, 0, sl, :].astype(jnp.float32)

@@ -236,6 +236,16 @@ _TIMING_BARE = False
 import os as _os
 
 _WGRAD_XPOSE = _os.environ.get("OSVOS_WGRAD_XPOSE", "1") != "0"
+# Lane-stacked WIDE wgrad operand for the unmerged fused backward: the
+# shifted-tap copies land in lane blocks [xs | ym+1 | ym-1] of ONE wide
+# (rows, 3*d_pad) buffer (plus a delta=0 copy of the cotangent window),
+# so each kh's three wgrad rows-contractions become ONE dot streaming 3x
+# the output columns per operand load (bench_wgrad_orient rows3w: +22%
+# at 128 lanes, ~neutral at 256, ~+1% at 512 over rows9). Composes with
+# _WGRAD_XPOSE. Gated per-kernel on c_pad for step A/Bs.
+_WGRAD_WIDE = _os.environ.get("OSVOS_WGRAD_WIDE", "0") != "0"
+_WGRAD_WIDE_MIN = int(_os.environ.get("OSVOS_WGRAD_WIDE_MIN", "128"))
+_WGRAD_WIDE_MAX = int(_os.environ.get("OSVOS_WGRAD_WIDE_MAX", "8192"))
 # transposed-wgrad lane-width gate (bench_wgrad_orient: win at 512 lanes,
 # neutral at 256 standalone — but inside the fused kernel the one transpose
 # replaces NINE per-dot operand transposes, so the threshold is A/B'd
@@ -336,9 +346,9 @@ def _copy_shifted(ym, xs, n_rows: int, delta: int, lane_off: int = None
     sublane-pair trick as the in-place shifts.
 
     ``lane_off``: store into lanes [lane_off, lane_off + width(xs)) of a
-    WIDER ym (the [xs|ym+1|ym-1] lane-stacked wgrad operand; must be a
-    multiple of 128 so the store stays tile-aligned). delta == 0 is the
-    plain copy for that stacked buffer's block 0."""
+    WIDER ym (the _WGRAD_WIDE [xs|ym+1|ym-1] lane-stacked wgrad operand;
+    must be a multiple of 128 so the store stays tile-aligned).
+    delta == 0 is the plain copy for that stacked buffer's block 0."""
     n_sh = n_rows // 2 + 8
     ch = _round_up(-(-n_sh // 8), 8)
     d_pad = xs.shape[-1]
@@ -1080,7 +1090,9 @@ def _flat_conv_wgrad_impl(zf: jnp.ndarray, gf: jnp.ndarray, g_in: FlatGeom,
 
 
 def _bwd_fused_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0,
-                      xpose: bool = False, pool_in=None, wide: bool = False):
+                      xpose: bool = False, pool_in=None,
+                      wide: bool = False):
+    assert not (wide and (merged or pool_in is not None))
     wp, t = g_in.wp, g_in.t
     k_rows = g_in.block_rows
     # pool_in: the cotangent source is the fused conv+pool output — the
@@ -1252,6 +1264,48 @@ def _bwd_fused_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0,
                 _merge_pairs_to(ym, xs, tap_rows, merged)
                 phase(xs, 0, 0, True, stride=1)   # dense taps
                 phase(ym, 3, 3, False, stride=1)  # merged cross-pair taps
+            elif wide:
+                # lane-stacked wide operand [xs | ym+1 | ym-1]: dgrad
+                # reads its 128-multiple lane blocks (dense block from
+                # the pristine xs window, as before), wgrad runs ONE
+                # 3x-wide rows-contraction per kh into the (3, c_pad,
+                # 3*d_pad) accumulator — decoded by the impl
+                (gw,) = opt_ym
+                dw = gw.shape[-1] // 3
+                if _BWD_ABLATE != "noshift":
+                    _copy_shifted(gw, xs, tap_rows, 0, lane_off=0)
+                    _copy_shifted(gw, xs, tap_rows, 1, lane_off=dw)
+                    _copy_shifted(gw, xs, tap_rows, -1, lane_off=2 * dw)
+                first = True
+                for kh in range(3):
+                    if _BWD_ABLATE == "nodgrad":
+                        acc[...] = jnp.zeros_like(acc)
+                        break
+                    for blk, kidx in ((None, 1), (1, 2), (2, 0)):
+                        src = (xs[pl.ds(lead + kh * wp, k_rows), :]
+                               if blk is None else
+                               gw[pl.ds(lead + kh * wp, k_rows),
+                                  pl.ds(blk * dw, dw)])
+                        dd = jax.lax.dot_general(
+                            src, kref[kh * 3 + kidx],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        if first:
+                            acc[...] = dd
+                            first = False
+                        else:
+                            acc[...] += dd
+                if _BWD_ABLATE != "nowgrad":
+                    for kh in range(3):
+                        srcw = gw[pl.ds(lead + kh * wp, k_rows), :]
+                        if xpose:
+                            dk_ref[kh] += jax.lax.dot_general(
+                                zt[...], srcw, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                        else:
+                            dk_ref[kh] += jax.lax.dot_general(
+                                zref[...], srcw, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
             else:
                 ym1, ym2 = opt_ym
                 if _BWD_ABLATE != "noshift":
@@ -1318,6 +1372,8 @@ def _flat_conv_bwd_fused_impl(zf: jnp.ndarray, gf: jnp.ndarray,
     # wide-lane operands (bench_wgrad_orient: ~+18% at 512 lanes, neutral
     # at 256, a small LOSS at 128 where rows-contraction is already fine)
     xpose = _WGRAD_XPOSE and c_pad >= _WGRAD_XPOSE_MIN
+    wide = (_WGRAD_WIDE and not merged and pool_in is None
+            and _WGRAD_WIDE_MIN <= c_pad <= _WGRAD_WIDE_MAX)
     scratch = [
         pltpu.VMEM((xs_rows, d_pad), jnp.bfloat16),
         pltpu.VMEM((xs_rows, d_pad), jnp.bfloat16),
@@ -1358,17 +1414,25 @@ def _flat_conv_bwd_fused_impl(zf: jnp.ndarray, gf: jnp.ndarray,
     else:
         operands = (gf, kp, zf)
     # merged: one cross-pair operand buffer; unmerged: two out-of-place
-    # shifted-tap buffers (barrier-free dots)
-    for _ in range(1 if merged else 2):
-        scratch.append(pltpu.VMEM((xs_rows, d_pad), jnp.bfloat16))
+    # shifted-tap buffers (barrier-free dots); wide: ONE lane-stacked
+    # [xs | ym+1 | ym-1] buffer (see _WGRAD_WIDE)
+    if wide:
+        scratch.append(pltpu.VMEM((xs_rows, 3 * d_pad), jnp.bfloat16))
+    else:
+        for _ in range(1 if merged else 2):
+            scratch.append(pltpu.VMEM((xs_rows, d_pad), jnp.bfloat16))
+    dk_shape = ((3, c_pad, 3 * d_pad) if wide
+                else (n_taps, c_pad, d_pad))
     dz, dk, db = pl.pallas_call(
-        _bwd_fused_kernel(g_in, relu_input, merged, xpose, kernel_pool),
+        _bwd_fused_kernel(g_in, relu_input, merged, xpose, kernel_pool,
+                          wide),
         name=(f"fconv_bwd_c{c}d{d}_h{g_in.h}w{g_in.w}"
               + ("_mrg" if merged else "") + ("_xp" if xpose else "")
+              + ("_w" if wide else "")
               + ("_pool" if pool_in is not None else "")),
         out_shape=(
             jax.ShapeDtypeStruct((g_in.rows, c_pad), jnp.bfloat16),
-            jax.ShapeDtypeStruct((n_taps, c_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct(dk_shape, jnp.float32),
             jax.ShapeDtypeStruct((8, d_pad), jnp.float32),
         ),
         grid=(g_in.total_tiles,),
@@ -1376,7 +1440,7 @@ def _flat_conv_bwd_fused_impl(zf: jnp.ndarray, gf: jnp.ndarray,
         out_specs=(
             pl.BlockSpec((g_in.block_rows, c_pad), lambda tt: (tt, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_taps, c_pad, d_pad), lambda tt: (0, 0, 0),
+            pl.BlockSpec(dk_shape, lambda tt: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, d_pad), lambda tt: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1388,6 +1452,13 @@ def _flat_conv_bwd_fused_impl(zf: jnp.ndarray, gf: jnp.ndarray,
     )(*operands)
     if merged:
         return dz, dk, db[0, :d]
+    if wide:
+        # decode the (3, c_pad, 3*d_pad) wide accumulator back to the
+        # 9-tap order: lane block 0 = xs (widx 1), 1 = ym+1 (widx 0),
+        # 2 = ym-1 (widx 2), rows flipped like the per-dot form
+        blocks = {1: dk[:, :, 0:d_pad], 0: dk[:, :, d_pad:2 * d_pad],
+                  2: dk[:, :, 2 * d_pad:3 * d_pad]}
+        dk = jnp.stack([blocks[t9 % 3][2 - t9 // 3] for t9 in range(9)])
     dk = dk.reshape(3, 3, c_pad, d_pad)[:, :, :c, :d]
     return dz, dk, db[0, :d]
 
@@ -2193,6 +2264,37 @@ def _fsc_bwd(g_in: FlatGeom, interpret, res, gf):
 
 
 flat_side_conv3x3.defvjp(_fsc_fwd, _fsc_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def flat_side_conv3x3_fl(zf, kernel, g_in: FlatGeom,
+                         interpret: bool = False):
+    """``flat_side_conv3x3`` that stays IN THE FLAT LAYOUT end to end:
+    returns the (rows, 128) flat side buffer (zeros beyond lane D and at
+    pad rows/cols) and takes the cotangent in the SAME standard
+    lead/tail flat layout. Used by the collapsed head, which consumes
+    the side activation through flat 1x1 dots — the 16-of-128-lane
+    ``from_flat`` slice on the forward (0.43 ms/step at s2, perfetto
+    r5a) and the full NHWC->flat re-pad of the cotangent on the
+    backward (0.43 ms/step) both disappear."""
+    return _flat_side_fwd_impl(zf, kernel, g_in, interpret)
+
+
+def _fscf_fwd(zf, kernel, g_in, interpret):
+    return flat_side_conv3x3_fl(zf, kernel, g_in, interpret), (zf, kernel)
+
+
+def _fscf_bwd(g_in: FlatGeom, interpret, res, gf):
+    zf, kernel = res
+    # gf is already the standard-layout flat buffer with zero pad rows
+    # and zero lanes beyond D (the collapse dot's weights are zero
+    # there) — no relayout at all
+    dz, dk, _ = _flat_side_bwd_impl(zf, gf.astype(jnp.bfloat16), kernel,
+                                    g_in, interpret, src_haloed=False)
+    return dz, dk.astype(kernel.dtype)
+
+
+flat_side_conv3x3_fl.defvjp(_fscf_fwd, _fscf_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -831,3 +831,49 @@ def _sap_bwd(g_in: FlatGeom, g_out: FlatGeom, interpret, res, cts):
 
 
 side_and_pool.defvjp(_sap_fwd, _sap_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def side_and_pool_fl(zf, side_kernel, g_in: FlatGeom, g_out: FlatGeom,
+                     interpret: bool = False):
+    """``side_and_pool`` that returns the side output IN THE FLAT LAYOUT
+    ((rows, 128), zeros beyond lane D) and takes its cotangent in the
+    same standard flat layout — see flatconv.flat_side_conv3x3_fl for
+    why (the from_flat slice and the backward NHWC->flat re-pad both
+    disappear under the flat collapsed head)."""
+    from osvos_tpu.ops.pallas.flatconv import _flat_side_fwd_impl
+
+    if fuse_pool_fwd_ok(g_in, g_out):
+        return _flat_side_fwd_impl(zf, side_kernel, g_in, interpret,
+                                   pool_out=g_out)
+    pooled = pool_flat_fwd_pallas(zf, g_in, g_out, interpret)
+    sf = _flat_side_fwd_impl(zf, side_kernel, g_in, interpret)
+    return sf, pooled
+
+
+def _sapf_fwd(zf, side_kernel, g_in, g_out, interpret):
+    sf, pooled = side_and_pool_fl(zf, side_kernel, g_in, g_out, interpret)
+    return (sf, pooled), (zf, side_kernel, pooled)
+
+
+def _sapf_bwd(g_in: FlatGeom, g_out: FlatGeom, interpret, res, cts):
+    from osvos_tpu.ops.pallas.flatconv import _flat_side_bwd_impl
+
+    zf, side_kernel, pooled = res
+    d_side, d_pooled = cts
+    gf_flat = d_side.astype(jnp.bfloat16)  # already standard flat layout
+    if _FUSE_POOL_BWD:
+        dz, dk, _ = _flat_side_bwd_impl(
+            zf, gf_flat, side_kernel, g_in, interpret, src_haloed=False,
+            pool=(g_out, pooled, d_pooled.astype(jnp.bfloat16)))
+    else:
+        dz_pool = pool_flat_bwd_pallas(zf, pooled,
+                                       d_pooled.astype(jnp.bfloat16),
+                                       g_in, g_out, interpret)
+        dz, dk, _ = _flat_side_bwd_impl(zf, gf_flat, side_kernel, g_in,
+                                        interpret, extra=dz_pool,
+                                        src_haloed=False)
+    return dz, dk.astype(side_kernel.dtype)
+
+
+side_and_pool_fl.defvjp(_sapf_fwd, _sapf_bwd)

@@ -117,6 +117,83 @@ def test_fused_bwd_xpose_matches_rows_contraction(rng, monkeypatch):
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("xpose", [False, True])
+@pytest.mark.parametrize("geom_tuple", [GEOMS[0], GEOMS[3], GEOMS[4]])
+def test_fused_bwd_wide_matches_per_dot(rng, geom_tuple, xpose,
+                                        monkeypatch):
+    """The lane-stacked wide wgrad (_WGRAD_WIDE: [xs|ym+1|ym-1] blocks,
+    one 3x-wide rows-contraction per kh) must equal the per-dot fused
+    backward bit-for-bit in every gradient, with and without the
+    transposed-operand orientation."""
+    import dataclasses
+
+    from osvos_tpu.ops.pallas import flatconv as fc
+
+    g, zf, k, b = _mk(rng, geom_tuple)
+    d = k.shape[-1]
+    gf = to_flat(jnp.asarray(rng.randn(g.n, g.h, g.w, d), jnp.float32),
+                 dataclasses.replace(g, c=d)).astype(jnp.bfloat16)
+
+    monkeypatch.setattr(fc, "_WGRAD_XPOSE", xpose)
+    monkeypatch.setattr(fc, "_WGRAD_XPOSE_MIN", 0)
+    outs = {}
+    for flag in (False, True):
+        monkeypatch.setattr(fc, "_WGRAD_WIDE", flag)
+        outs[flag] = fc._flat_conv_bwd_fused_impl(zf, gf, k, g, d, True,
+                                                  True)
+    for a, b_ in zip(outs[False], outs[True]):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_flat_side_fl_matches_nhwc_variant(rng):
+    """flat_side_conv3x3_fl (flat in/out, flat cotangent) must give the
+    same forward values and the same (dz, dK) as the NHWC-returning
+    flat_side_conv3x3 under the flat collapsed head's consumption
+    pattern (a 1x1 dot with zero weights beyond lane D)."""
+    import dataclasses
+
+    from osvos_tpu.ops.pallas.flatconv import (flat_side_conv3x3,
+                                               flat_side_conv3x3_fl)
+
+    n, h, w, c, d, t = 2, 6, 10, 8, 8, 4
+    g = FlatGeom(n=n, h=h, w=w, c=c, t=t)
+    x = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32))
+    zf = to_flat(jnp.maximum(x, 0), g)  # post-relu convention
+    k = jnp.asarray(0.1 * rng.randn(3, 3, c, d).astype(np.float32))
+    wcol = jnp.asarray(rng.randn(d, 2).astype(np.float32))
+    wpad = jnp.pad(wcol, ((0, 128 - d), (0, 0)))
+    g_out = dataclasses.replace(g, c=d)
+
+    g2 = dataclasses.replace(g, c=2)
+    r2 = jnp.asarray(rng.randn(n, h, w, 2).astype(np.float32))
+
+    def loss_fl(zf, k):
+        # production consumption: the collapse dot, then from_flat
+        # slices the valid region (pad-row cotangents are exactly zero)
+        sf = flat_side_conv3x3_fl(zf, k, g, True)
+        return jnp.sum(from_flat(sf.astype(jnp.float32) @ wpad, g2) * r2)
+
+    def loss_nhwc(zf, k):
+        side = flat_side_conv3x3(zf, k, g, True)
+        return jnp.sum((side.astype(jnp.float32) @ wcol) * r2)
+
+    (lf, gf_), (ln, gn) = (jax.value_and_grad(f, argnums=(0, 1))(zf, k)
+                           for f in (loss_fl, loss_nhwc))
+    np.testing.assert_allclose(float(lf), float(ln), rtol=1e-5)
+    for a, b_ in zip(gf_, gn):
+        scale = np.abs(np.asarray(b_, np.float32)).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   atol=1e-5 * scale)
+    # forward values agree with from_flat of the flat buffer
+    sf = flat_side_conv3x3_fl(zf, k, g, True)
+    np.testing.assert_array_equal(
+        np.asarray(from_flat(sf, g_out)),
+        np.asarray(flat_side_conv3x3(zf, k, g, True)))
+
+
 @pytest.mark.parametrize("geom_tuple", GEOMS[:3])
 def test_haloed_core_layout_matches_standard(rng, geom_tuple):
     """The one-pad haloed-core input layout (to_flat_haloed +

@@ -575,12 +575,19 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
         tt = pl.program_id(1)
         edge = (tt == 0) | (tt == last)
 
-        def zero_dma(dst_off: int, rows: int):
-            cp = pltpu.make_async_copy(
-                zbuf.at[pl.ds(0, rows)],
-                pooled_hbm.at[pl.ds(dst_off, rows)], zsem)
-            cp.start()
-            cp.wait()
+        def zero_dmas(base: int, total: int):
+            # all chunks read the constant-zero zbuf and write disjoint
+            # HBM rows: start them on distinct semaphore slots and wait
+            # after, instead of a serial start();wait() chain per chunk
+            cps = [pltpu.make_async_copy(
+                       zbuf.at[pl.ds(0, min(t2w, total - a))],
+                       pooled_hbm.at[pl.ds(base + a, min(t2w, total - a))],
+                       zsem.at[i % 4])
+                   for i, a in enumerate(range(0, total, t2w))]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
 
         def pcopy(tile, pb):
             # conv tile (n, j) pools to padded pooled rows
@@ -617,14 +624,11 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
 
                 @pl.when(anchor * jnp.float32(0) != jnp.float32(1))
                 def _():
-                    for a in range(0, g2.block_rows, t2w):
-                        zero_dma(a, min(t2w, g2.block_rows - a))
+                    zero_dmas(0, g2.block_rows)
 
             @pl.when(tt == last)
             def _():
-                base = g2.rows - g2.block_rows
-                for a in range(0, g2.block_rows, t2w):
-                    zero_dma(base + a, min(t2w, g2.block_rows - a))
+                zero_dmas(g2.rows - g2.block_rows, g2.block_rows)
                 # drain the last interior tiles' pooled-row copies
                 for tprev in (last - 2, last - 1):
                     if tprev >= 1:
@@ -754,8 +758,7 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
                 def _():
                     base = g2.block_rows + (nn * g2.hp
                                             + jt * (t // 2)) * wp
-                    for a in range(0, gap * wp, t2w):
-                        zero_dma(base + a, min(t2w, gap * wp - a))
+                    zero_dmas(base, gap * wp)
 
         _with_prefetched_xs(xf_hbm, xs0, xs1, sem, tt, t, wp, xs_rows, last,
                             body, haloed=haloed)
@@ -833,7 +836,7 @@ def _flat_conv_fwd_impl(zf: jnp.ndarray, kernel: jnp.ndarray,
             pltpu.VMEM((2 * g_in.wp, 128), jnp.bfloat16),  # carry
             pltpu.VMEM((t2w, 128), jnp.bfloat16),   # zbuf
             pltpu.SemaphoreType.DMA((2,)),          # psem
-            pltpu.SemaphoreType.DMA,                # zsem
+            pltpu.SemaphoreType.DMA((4,)),          # zsem
         ]
     # merged: one cross-pair operand buffer; unmerged: two out-of-place
     # shifted-tap buffers (barrier-free dots)
@@ -1730,24 +1733,28 @@ def _side_bwd_kernel(g_in: FlatGeom, d: int, with_extra: bool = False,
                 b = min(a + ch, 8 + n_sh)
                 acc01 = None
                 acc2 = None
-                for tap, (kh, kw) in enumerate(
-                        (kh, kw) for kh in range(3) for kw in range(3)):
+                for kh in range(3):
                     base = 2 * (a - 8) + kh * wp
+                    # one window load per kh (the three kw taps slice the
+                    # same u32 window) — see the fwd collapse loop
                     w = pltpu.bitcast(
                         xs[pl.ds(base, 2 * (b - a) + 18), :], jnp.uint32)
-                    if kw == 2:
-                        v = (w[8:8 + (b - a)] >> 16) | (w[9:9 + (b - a)]
-                                                        << 16)
-                    elif kw == 0:
-                        v = (w[7:7 + (b - a)] >> 16) | (w[8:8 + (b - a)]
-                                                        << 16)
-                    else:
-                        v = w[8:8 + (b - a)]
-                    if tap == 8:
-                        acc2 = v
-                    else:
-                        rolled = pltpu.roll(v, tap * d, axis=1)
-                        acc01 = rolled if acc01 is None else acc01 | rolled
+                    for kw in range(3):
+                        tap = 3 * kh + kw
+                        if kw == 2:
+                            v = (w[8:8 + (b - a)] >> 16
+                                 ) | (w[9:9 + (b - a)] << 16)
+                        elif kw == 0:
+                            v = (w[7:7 + (b - a)] >> 16
+                                 ) | (w[8:8 + (b - a)] << 16)
+                        else:
+                            v = w[8:8 + (b - a)]
+                        if tap == 8:
+                            acc2 = v
+                        else:
+                            rolled = pltpu.roll(v, tap * d, axis=1)
+                            acc01 = (rolled if acc01 is None
+                                     else acc01 | rolled)
                 g01[pl.ds(2 * a, 2 * (b - a)), :] = pltpu.bitcast(
                     acc01, jnp.bfloat16)
                 g2[pl.ds(2 * a, 2 * (b - a)), :] = pltpu.bitcast(
@@ -1991,13 +1998,20 @@ def _side_fwd_kernel(g_in: FlatGeom, d: int, pool=None):
 
         if pool is not None:
             # pooled-buffer lead/tail zeroing + per-tile DMA: the same
-            # machinery as the packed conv+pool epilogue (_fwd_kernel)
-            def zero_dma(dst_off: int, rows: int):
-                cp = pltpu.make_async_copy(
-                    zbuf.at[pl.ds(0, rows)],
-                    pooled_hbm.at[pl.ds(dst_off, rows)], zsem)
-                cp.start()
-                cp.wait()
+            # machinery as the packed conv+pool epilogue (_fwd_kernel) —
+            # chunks overlap on distinct semaphore slots (disjoint
+            # destinations, constant-zero source)
+            def zero_dmas(base: int, total: int):
+                cps = [pltpu.make_async_copy(
+                           zbuf.at[pl.ds(0, min(t2w, total - a))],
+                           pooled_hbm.at[pl.ds(base + a,
+                                               min(t2w, total - a))],
+                           zsem.at[i % 4])
+                       for i, a in enumerate(range(0, total, t2w))]
+                for cp in cps:
+                    cp.start()
+                for cp in cps:
+                    cp.wait()
 
             def pcopy(tile, pb):
                 # conv tile (n, j) pools to padded pooled rows
@@ -2019,14 +2033,11 @@ def _side_fwd_kernel(g_in: FlatGeom, d: int, pool=None):
 
                 @pl.when(anchor * jnp.float32(0) != jnp.float32(1))
                 def _():
-                    for a in range(0, g2.block_rows, t2w):
-                        zero_dma(a, min(t2w, g2.block_rows - a))
+                    zero_dmas(0, g2.block_rows)
 
             @pl.when(tt == last)
             def _():
-                base = g2.rows - g2.block_rows
-                for a in range(0, g2.block_rows, t2w):
-                    zero_dma(base + a, min(t2w, g2.block_rows - a))
+                zero_dmas(g2.rows - g2.block_rows, g2.block_rows)
                 for tprev in (last - 2, last - 1):
                     if tprev >= 1:
                         pcopy(tprev, pb0 if tprev % 2 == 0 else pb1).wait()
@@ -2086,8 +2097,7 @@ def _side_fwd_kernel(g_in: FlatGeom, d: int, pool=None):
                 def _():
                     base = g2.block_rows + (nn * g2.hp
                                             + jt * (t // 2)) * wp2
-                    for a in range(0, gap * wp2, t2w):
-                        zero_dma(base + a, min(t2w, gap * wp2 - a))
+                    zero_dmas(base, gap * wp2)
 
         def body(xs, slot=0):
             o01[...] = jax.lax.dot_general(
@@ -2102,24 +2112,33 @@ def _side_fwd_kernel(g_in: FlatGeom, d: int, pool=None):
             for a in range(0, n_sh, ch):
                 b = min(a + ch, n_sh)
                 acc = None
-                for tap, (kh, kw) in enumerate(
-                        (kh, kw) for kh in range(3) for kw in range(3)):
-                    src = o2 if tap == 8 else o01
+                for kh in range(3):
                     base = 2 * a + kh * wp + pre
+                    # ONE window load per kh: the three kw taps slice the
+                    # same u32 window (and tap 8 the o2 one) — loading it
+                    # per tap tripled the VMEM read traffic of this loop
                     w = pltpu.bitcast(
-                        src[pl.ds(base, 2 * (b - a) + 18), :], jnp.uint32)
-                    if kw == 2:
-                        v = (w[8:8 + (b - a)] >> 16) | (w[9:9 + (b - a)]
-                                                        << 16)
-                    elif kw == 0:
-                        v = (w[7:7 + (b - a)] >> 16) | (w[8:8 + (b - a)]
-                                                        << 16)
-                    else:
-                        v = w[8:8 + (b - a)]
-                    if tap != 8:
-                        v = pltpu.roll(v, (128 - tap * d) % 128, axis=1)
-                    vf = pltpu.bitcast(v, jnp.bfloat16).astype(jnp.float32)
-                    acc = vf if acc is None else acc + vf
+                        o01[pl.ds(base, 2 * (b - a) + 18), :], jnp.uint32)
+                    w8 = (pltpu.bitcast(
+                              o2[pl.ds(base, 2 * (b - a) + 18), :],
+                              jnp.uint32) if kh == 2 else None)
+                    for kw in range(3):
+                        tap = 3 * kh + kw
+                        ww = w8 if tap == 8 else w
+                        if kw == 2:
+                            v = (ww[8:8 + (b - a)] >> 16
+                                 ) | (ww[9:9 + (b - a)] << 16)
+                        elif kw == 0:
+                            v = (ww[7:7 + (b - a)] >> 16
+                                 ) | (ww[8:8 + (b - a)] << 16)
+                        else:
+                            v = ww[8:8 + (b - a)]
+                        if tap != 8:
+                            v = pltpu.roll(v, (128 - tap * d) % 128,
+                                           axis=1)
+                        vf = pltpu.bitcast(v, jnp.bfloat16).astype(
+                            jnp.float32)
+                        acc = vf if acc is None else acc + vf
                 out_ref[pl.ds(2 * a, 2 * (b - a)), :] = acc.astype(
                     jnp.bfloat16)
 
@@ -2185,7 +2204,7 @@ def _flat_side_fwd_impl(zf, kernel, g_in: FlatGeom, interpret: bool,
             pltpu.VMEM((t2w, g2.c_pad), jnp.bfloat16),   # pb1
             pltpu.VMEM((t2w, g2.c_pad), jnp.bfloat16),   # zbuf
             pltpu.SemaphoreType.DMA((2,)),               # psem
-            pltpu.SemaphoreType.DMA,                     # zsem
+            pltpu.SemaphoreType.DMA((4,)),               # zsem
         ]
     out = pl.pallas_call(
         _side_fwd_kernel(g_in, d, kernel_pool),

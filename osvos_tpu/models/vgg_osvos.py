@@ -38,6 +38,20 @@ from osvos_tpu.ops.crop import center_crop
 from osvos_tpu.ops.pool import max_pool_ceil
 from osvos_tpu.ops.upsample import bilinear_upsample
 
+# Fold side_prep + [fuse|score] head into one 2-channel 3x3 conv in the
+# flat 'stacked' path (A/B knob; see the fold comment in __call__).
+# DEFAULT OFF — chip A/B (round 5) measured the fold SLOWER: 43.96
+# ms/step vs 42.2 unfolded, even with stride-8 tap lanes. The side
+# kernels' cost is d-independent (row-streams x taps x lane tiles), so
+# the fold saves nothing there, and it trades the XLA head dot — whose
+# VJP is one MXU dot producing the flat cotangent — for from_flat(c=2)
+# whose VJP is a 2->128-lane pad over the full flat buffer, the exact
+# pad class the round-2 ledger already measured expensive. Kept as a
+# tested capability (test_folded_side_head_matches_unfolded).
+import os as _os
+
+_FOLD_SIDE = _os.environ.get("OSVOS_FOLD_SIDE", "0") == "1"
+
 
 class _Int8Conv(nn.Module):
     """3x3 conv computed on the int8 MXU path: float32 params with
@@ -355,17 +369,41 @@ class OSVOS(nn.Module):
                     from osvos_tpu.ops.pallas.flatpool import (
                         side_and_pool_fl)
 
+                    # head weights, hoisted: the whole side branch is
+                    # LINEAR (reference has no nonlinearity between
+                    # side_prep and score_dsn/fuse, vgg_osvos.py:~60),
+                    # so with _FOLD_SIDE the 3x3 c->16 side_prep and the
+                    # 1x1 16->2 [fuse-contrib | score] head fold into
+                    # ONE 2-channel 3x3 conv K2 = Ks @ Wcat run by the
+                    # same tap-stacked kernels at d=2 — the kernels' dot
+                    # streams halve and the XLA head dots (fwd 135 MB
+                    # read + bwd cotangent write at s2) disappear.
+                    # Autodiff through the einsum hands dK2 back to
+                    # side_prep AND score/fuse weights exactly.
+                    sl = slice((i - 1) * cfg.side_channels,
+                               i * cfg.side_channels)
+                    ksc, bsc = _Conv1x1Params(in_features=cfg.side_channels,
+                                              name=f"score_dsn{i}")()
+                    w_f = fuse_kernel[0, 0, sl, 0].astype(jnp.float32)
+                    w_s = ksc[0, 0, :, 0]
+                    wcat = jnp.stack([w_f, w_s], axis=1)  # (16, 2) f32
+                    b2 = jnp.stack([bs @ w_f, bs @ w_s + bsc[0]])
+                    if _FOLD_SIDE:
+                        k_side = jnp.einsum("hwcd,do->hwco", ks, wcat)
+                    else:
+                        k_side = ks
+
                     if i < len(cfg.stages) - 1:
                         # fuse this stage's side with the NEXT stage's
                         # pool: the backward's dz_side + dz_pool merge
                         # rides the side kernel's epilogue instead of a
                         # full-buffer add (see flatpool.side_and_pool)
                         g2 = pool_out_geom(g, stage_t(-(-g.h // 2)))
-                        side_flat, zp = side_and_pool_fl(zf, ks, g, g2,
-                                                         interp)
+                        side_flat, zp = side_and_pool_fl(zf, k_side, g,
+                                                         g2, interp)
                         flat_pooled = (zp, g2)
                     else:
-                        side_flat = flat_side_conv3x3_fl(zf, ks, g,
+                        side_flat = flat_side_conv3x3_fl(zf, k_side, g,
                                                          interp)
                 elif cfg.flat_side == "xla":
                     # The flat kernels price a conv at row-streams x taps x
@@ -411,27 +449,21 @@ class OSVOS(nn.Module):
             collapse_fuse = (mode in ("infer", "infer_parts")
                              or cfg.compute_mode != "parity")
             if flat and side_flat is not None:
-                # flat-space collapsed head: ONE (rows, 128) x (128, 2)
-                # f32 dot yields [fuse-contribution | score_dsn] straight
-                # from the flat side buffer (flat always collapses —
-                # compute_mode != 'parity'); the side bias and score
-                # bias fold into per-channel constants. Replaces the
-                # NHWC from_flat slice + two NHWC 1x1 passes, and its
-                # autodiff hands the side kernel a flat cotangent with
-                # zero lanes beyond D (the weight pad rows) for free.
-                sl = slice((i - 1) * cfg.side_channels,
-                           i * cfg.side_channels)
-                ksc, bsc = _Conv1x1Params(in_features=cfg.side_channels,
-                                          name=f"score_dsn{i}")()
-                w_f = fuse_kernel[0, 0, sl, 0].astype(jnp.float32)
-                w_s = ksc[0, 0, :, 0]
-                wcat = jnp.stack([w_f, w_s], axis=1)  # (16, 2) f32
-                wpad = jnp.pad(wcat,
-                               ((0, 128 - cfg.side_channels), (0, 0)))
-                b2 = jnp.stack([bs @ w_f, bs @ w_s + bsc[0]])
-                flat2 = side_flat.astype(jnp.float32) @ wpad
+                # flat-space collapsed head: with _FOLD_SIDE the side
+                # kernel already emitted [fuse-contribution | score] in
+                # lanes 0..1 (K2-folded conv) — only the bias constants
+                # remain; otherwise ONE (rows, 128) x (128, 2) f32 dot
+                # collapses the 16-lane side buffer (flat always
+                # collapses — compute_mode != 'parity').
+                if _FOLD_SIDE:
+                    flat2 = side_flat
+                else:
+                    wpad = jnp.pad(wcat,
+                                   ((0, 128 - cfg.side_channels), (0, 0)))
+                    flat2 = side_flat.astype(jnp.float32) @ wpad
                 both = from_flat(flat2,
-                                 dataclasses.replace(g, c=2)) + b2
+                                 dataclasses.replace(g, c=2)
+                                 ).astype(jnp.float32) + b2
                 contrib = both[..., :1]
                 if mode == "infer_parts":
                     fused_contribs.append(contrib)

@@ -264,6 +264,17 @@ if _BWD_ABLATE and _os.environ.get("OSVOS_BWD_ABLATE_ACK") != "1":
         "fused backward (TIMING-ONLY, wrong numerics). Set "
         "OSVOS_BWD_ABLATE_ACK=1 to confirm this is a timing run, or unset "
         "OSVOS_BWD_ABLATE.")
+# TIMING-ONLY ablation for the tap-stacked side FORWARD kernel (wrong
+# numerics): comma list of "collapse" (skip the VPU tap-collapse loop),
+# "mask" (skip the validity masking pass), "pool" (skip the fused pool
+# epilogue's compute+copies). Same ACK guard as the backward ablation.
+_SIDE_ABLATE = set(filter(None, _os.environ.get(
+    "OSVOS_SIDE_ABLATE", "").split(",")))
+if _SIDE_ABLATE and _os.environ.get("OSVOS_BWD_ABLATE_ACK") != "1":
+    raise RuntimeError(
+        f"OSVOS_SIDE_ABLATE={sorted(_SIDE_ABLATE)} disables side-forward "
+        "terms (TIMING-ONLY, wrong numerics). Set OSVOS_BWD_ABLATE_ACK=1 "
+        "to confirm this is a timing run, or unset OSVOS_SIDE_ABLATE.")
 
 
 def _shift_up_1(xs, n_rows: int) -> None:
@@ -1662,7 +1673,8 @@ def _side_bwd_kernel(g_in: FlatGeom, d: int, with_extra: bool = False,
     k_rows = g_in.block_rows
     xs_rows = _LEAD_ROWS + (t + 2) * wp + 32
     jt1, last = g_in.jt, g_in.total_tiles - 1
-    assert 8 * d <= 128 and d % 4 == 0, d
+    ls = _side_lane_stride(d)
+    assert 8 * ls <= 128 and d <= ls, d
     assert not (with_extra and pool_out is not None)
     if pool_out is not None:
         # fused stage-boundary pool backward (see _sap_bwd): the argmax
@@ -1752,7 +1764,7 @@ def _side_bwd_kernel(g_in: FlatGeom, d: int, with_extra: bool = False,
                         if tap == 8:
                             acc2 = v
                         else:
-                            rolled = pltpu.roll(v, tap * d, axis=1)
+                            rolled = pltpu.roll(v, tap * ls, axis=1)
                             acc01 = (rolled if acc01 is None
                                      else acc01 | rolled)
                 g01[pl.ds(2 * a, 2 * (b - a)), :] = pltpu.bitcast(
@@ -1865,12 +1877,15 @@ def _flat_side_bwd_impl(zf, gf, kernel, g_in: FlatGeom, interpret: bool,
         assert g_in.t % 2 == 0, g_in
         w2_rows = (g_in.t // 2 + 2) * pool_g.wp
     # G slot ``tap`` reads gf at +off_tap, so the dgrad stack holds the
-    # FLIPPED kernel: KS[d*tap + dd, cc] = K[2-kh, 2-kw, cc, dd]
-    kt = kernel.astype(jnp.bfloat16)[::-1, ::-1].transpose(
-        0, 1, 3, 2).reshape(9 * d, c)
-    kt = jnp.pad(kt, ((0, 0), (0, c_pad - c)))
-    ks01 = jnp.pad(kt[:8 * d], ((0, 128 - 8 * d), (0, 0)))
-    ks2 = jnp.pad(kt[8 * d:], ((0, 128 - d), (0, 0)))
+    # FLIPPED kernel: KS[ls*tap + dd, cc] = K[2-kh, 2-kw, cc, dd] (taps
+    # at lane stride ls — see _side_lane_stride)
+    d_ls = _side_lane_stride(d)
+    k9 = jnp.pad(kernel.astype(jnp.bfloat16)[::-1, ::-1].transpose(
+        0, 1, 3, 2).reshape(9, d, c),
+        ((0, 0), (0, d_ls - d), (0, c_pad - c)))
+    ks01 = jnp.pad(k9[:8].reshape(8 * d_ls, c_pad),
+                   ((0, 128 - 8 * d_ls), (0, 0)))
+    ks2 = jnp.pad(k9[8], ((0, 128 - d_ls), (0, 0)))
 
     xs_rows = _LEAD_ROWS + (g_in.t + 2) * g_in.wp + 32
     in_specs = [
@@ -1935,9 +1950,9 @@ def _flat_side_bwd_impl(zf, gf, kernel, g_in: FlatGeom, interpret: bool,
         interpret=interpret,
     )(*operands)
     # G slot tap accumulated sum_s z[s] (x) gf[s + off_tap] = dK[8 - tap]
-    dk9 = jnp.concatenate([dk01[:c, :8 * d], dk2[:c, :d]], axis=1)
-    dk = dk9.reshape(c, 9, d)[:, ::-1, :].transpose(1, 0, 2).reshape(
-        3, 3, c, d)
+    dk8 = dk01[:c, :8 * d_ls].reshape(c, 8, d_ls)[:, :, :d]
+    dk9 = jnp.concatenate([dk8, dk2[:c, None, :d]], axis=1)
+    dk = dk9[:, ::-1, :].transpose(1, 0, 2).reshape(3, 3, c, d)
     db = db[0, :d]
     return dz, dk, db
 
@@ -1950,6 +1965,14 @@ def _pair_max_words(v):
     lo = pltpu.bitcast(u << 16, jnp.float32)
     hi = pltpu.bitcast(u & jnp.uint32(0xFFFF0000), jnp.float32)
     return jnp.maximum(lo, hi)
+
+
+def _side_lane_stride(d: int) -> int:
+    """Lane stride of the tap blocks in the stacked side operands: taps
+    sit at lanes [ls*t, ls*t + d). For d < 8 the stride stays 8 — lane
+    rolls by non-multiples of 8 lower to much slower multi-step shuffles
+    (chip A/B at d=2: ~+1.5 ms/step with d-stride rolls 126/124/...)."""
+    return d if d >= 8 else 8
 
 
 def _side_fwd_kernel(g_in: FlatGeom, d: int, pool=None):
@@ -1973,7 +1996,8 @@ def _side_fwd_kernel(g_in: FlatGeom, d: int, pool=None):
     xs_rows = _LEAD_ROWS + (t + 2) * wp + 32 + pre
     jt, last = g_in.jt, g_in.total_tiles - 1
     h_ok, w_ok = g_in.h, g_in.w
-    assert 8 * d <= 128 and d % 4 == 0, d
+    ls = _side_lane_stride(d)
+    assert 8 * ls <= 128 and d <= ls, d
     if pool is not None:
         (g2,) = pool
         wp2, halfw = g2.wp, wp // 2
@@ -2038,9 +2062,11 @@ def _side_fwd_kernel(g_in: FlatGeom, d: int, pool=None):
             @pl.when(tt == last)
             def _():
                 zero_dmas(g2.rows - g2.block_rows, g2.block_rows)
-                for tprev in (last - 2, last - 1):
-                    if tprev >= 1:
-                        pcopy(tprev, pb0 if tprev % 2 == 0 else pb1).wait()
+                if "pool" not in _SIDE_ABLATE:  # no copies started if so
+                    for tprev in (last - 2, last - 1):
+                        if tprev >= 1:
+                            pcopy(tprev,
+                                  pb0 if tprev % 2 == 0 else pb1).wait()
 
         def _pool_epilogue(xs, j):
             # window h-row r holds input padded row j*t - 2 + r; pool
@@ -2109,6 +2135,9 @@ def _side_fwd_kernel(g_in: FlatGeom, d: int, pool=None):
 
             n_sh = k_rows // 2
             ch = _round_up(-(-n_sh // 8), 8)
+            if "collapse" in _SIDE_ABLATE:  # timing-only: raw dot out
+                out_ref[...] = o01[pl.ds(pre, k_rows), :]
+                n_sh = 0
             for a in range(0, n_sh, ch):
                 b = min(a + ch, n_sh)
                 acc = None
@@ -2134,7 +2163,7 @@ def _side_fwd_kernel(g_in: FlatGeom, d: int, pool=None):
                         else:
                             v = ww[8:8 + (b - a)]
                         if tap != 8:
-                            v = pltpu.roll(v, (128 - tap * d) % 128,
+                            v = pltpu.roll(v, (128 - tap * ls) % 128,
                                            axis=1)
                         vf = pltpu.bitcast(v, jnp.bfloat16).astype(
                             jnp.float32)
@@ -2144,14 +2173,16 @@ def _side_fwd_kernel(g_in: FlatGeom, d: int, pool=None):
 
             # mask: pad rows/cols and the garbage lanes >= d stay zero
             j = (tt - 1) % jt
-            it = jax.lax.broadcasted_iota(jnp.int32, (k_rows, 1), 0)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (k_rows, 128), 1)
-            h_p = j * t + it // wp
-            w_p = it % wp
-            valid = ((h_p >= 2) & (h_p <= h_ok + 1)
-                     & (w_p >= 2) & (w_p <= w_ok + 1) & (lane < d))
-            out_ref[...] = jnp.where(valid, out_ref[...], jnp.bfloat16(0))
-            if pool is not None:
+            if "mask" not in _SIDE_ABLATE:
+                it = jax.lax.broadcasted_iota(jnp.int32, (k_rows, 1), 0)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (k_rows, 128), 1)
+                h_p = j * t + it // wp
+                w_p = it % wp
+                valid = ((h_p >= 2) & (h_p <= h_ok + 1)
+                         & (w_p >= 2) & (w_p <= w_ok + 1) & (lane < d))
+                out_ref[...] = jnp.where(valid, out_ref[...],
+                                         jnp.bfloat16(0))
+            if pool is not None and "pool" not in _SIDE_ABLATE:
                 _pool_epilogue(xs, j)
 
         _with_prefetched_xs(xf_hbm, xs0, xs1, sem, tt, t, wp, xs_rows, last,
@@ -2170,12 +2201,15 @@ def _flat_side_fwd_impl(zf, kernel, g_in: FlatGeom, interpret: bool,
     both consumers — see _side_fwd_kernel); returns (side, pooled)."""
     c, c_pad = g_in.c, g_in.c_pad
     d = kernel.shape[-1]
-    # ksT[cc, d*t + dd] = K[kh, kw, cc, dd] (no flip — forward taps)
-    kt = kernel.astype(jnp.bfloat16).reshape(9, c, d).transpose(
-        1, 0, 2).reshape(c, 9 * d)
-    kt = jnp.pad(kt, ((0, c_pad - c), (0, 0)))
-    ks01 = jnp.pad(kt[:, :8 * d], ((0, 0), (0, 128 - 8 * d)))
-    ks2 = jnp.pad(kt[:, 8 * d:], ((0, 0), (0, 128 - d)))
+    ls = _side_lane_stride(d)
+    # ksT[cc, ls*t + dd] = K[kh, kw, cc, dd] (no flip — forward taps);
+    # taps sit at lane stride ls so the collapse rolls stay multiples
+    # of 8 (see _side_lane_stride)
+    k9 = jnp.pad(kernel.astype(jnp.bfloat16).reshape(9, c, d).transpose(
+        1, 0, 2), ((0, c_pad - c), (0, 0), (0, ls - d)))
+    ks01 = jnp.pad(k9[:, :8].reshape(c_pad, 8 * ls),
+                   ((0, 0), (0, 128 - 8 * ls)))
+    ks2 = jnp.pad(k9[:, 8], ((0, 0), (0, 128 - ls)))
 
     pre = g_in.wp if pool_out is not None else 0
     xs_rows = _LEAD_ROWS + (g_in.t + 2) * g_in.wp + 32 + pre

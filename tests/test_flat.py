@@ -309,16 +309,72 @@ def test_flat_model_grads_match_fast(rng):
 
     gf = jax.grad(lambda p: loss(p, "flat"))(params)
     gr = jax.grad(lambda p: loss(p, "fast"))(params)
+    # The side_prep bias grads are cancellation-dominated (sum to ~1e-4
+    # of their per-pixel cotangent magnitudes here). The flat collapsed
+    # head routes them in f32 via the hoisted bias constants (b2), while
+    # the fast path's route bf16-rounds each pixel's cotangent at the
+    # side_temp astype — measured: flat matches the f32-HIGHEST parity
+    # grad to ~5 digits while fast is up to 4.7x off it. Compare those
+    # leaves against the parity oracle, everything else against fast.
+    gp = jax.grad(lambda p: loss(p, "parity"))(params)
     flat_leaves = jax.tree.leaves_with_path(gf)
     ref_leaves = dict(jax.tree.leaves_with_path(gr))
+    par_leaves = dict(jax.tree.leaves_with_path(gp))
     checked = 0
     for path, leaf in flat_leaves:
-        ref = ref_leaves[path]
+        key = "".join(str(p) for p in path)
+        if "side_prep" in key and "bias" in key:
+            ref, tol = par_leaves[path], 1e-2
+        else:
+            ref, tol = ref_leaves[path], 6e-2
         scale = np.abs(np.asarray(ref)).max() + 1e-6
         np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref),
-                                   atol=6e-2 * scale, err_msg=str(path))
+                                   atol=tol * scale, err_msg=str(path))
         checked += 1
     assert checked == len(flat_leaves)
+
+
+@pytest.mark.slow
+def test_folded_side_head_matches_unfolded(rng, monkeypatch):
+    """_FOLD_SIDE runs side_prep + [fuse-contrib|score] as ONE folded
+    d=2 conv (K2 = Ks @ Wcat — the branch is linear); it must match the
+    unfolded d=16 side kernel + XLA head dot up to bf16 rounding
+    placement, in train outputs AND all parameter gradients."""
+    import jax
+    from osvos_tpu.models import init_osvos_params
+    from osvos_tpu.models import vgg_osvos as vo
+    from osvos_tpu.configs import ModelConfig
+    from osvos_tpu.ops.loss import class_balanced_cross_entropy_loss
+    h, w = 17, 29
+    params = init_osvos_params(jax.random.PRNGKey(0),
+                               ModelConfig(compute_mode="fast", **TINY),
+                               input_hw=(h, w))
+    x = jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32) * 10)
+    m = jnp.asarray((rng.rand(1, h, w, 1) > 0.5).astype(np.float32))
+
+    def loss(p):
+        outs = _tiny_model("flat").apply({"params": p}, x, mode="train")
+        return (0.5 * sum(class_balanced_cross_entropy_loss(
+                    o, m, size_average=False) for o in outs[:-1])
+                + class_balanced_cross_entropy_loss(outs[-1], m,
+                                                    size_average=False))
+
+    results = {}
+    for fold in (True, False):
+        monkeypatch.setattr(vo, "_FOLD_SIDE", fold)
+        outs = _tiny_model("flat").apply({"params": params}, x,
+                                         mode="train")
+        results[fold] = (outs, jax.grad(loss)(params))
+    for a, b in zip(results[True][0], results[False][0]):
+        scale = np.abs(np.asarray(b, np.float32)).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=2e-2 * scale)
+    ref = dict(jax.tree.leaves_with_path(results[False][1]))
+    for path, leaf in jax.tree.leaves_with_path(results[True][1]):
+        scale = np.abs(np.asarray(ref[path])).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref[path]),
+                                   atol=3e-2 * scale, err_msg=str(path))
 
 
 def test_init_osvos_params_all_compute_modes():
@@ -671,6 +727,7 @@ def test_flat_conv_postrelu_mode_matches_twin(rng, geom_tuple):
     (2, 6, 10, 8, 8, 4),      # generic small
     (1, 9, 27, 16, 8, 8),     # odd w, wider-than-one-tile wp
     (1, 4, 6, 130, 4, 4),     # c > 128: multi-lane-tile contraction
+    (2, 6, 10, 8, 2, 4),      # d=2: the folded side+head conv width
 ])
 def test_side_conv_tap_stacked_matches_twin(rng, geom_tuple):
     """flat_side_conv3x3 (tap-stacked fwd + bwd kernels) vs the XLA twin:
@@ -724,6 +781,7 @@ def test_side_conv_tap_stacked_matches_twin(rng, geom_tuple):
     (2, 10, 13, 8, 8, 4, 4),   # odd w (w-ceil pair reads the zero pad col)
     (1, 10, 24, 8, 8, 4, 4),   # wp2 == wp/2: stored-cols clip active
     (1, 12, 14, 8, 8, 4, 8),   # pooled t > t/2 coverage: gap rows zeroed
+    (2, 10, 14, 8, 2, 4, 4),   # d=2: the folded side+head conv width
 ])
 def test_side_and_pool_equals_unfused(rng, geom_tuple, fuse_fwd,
                                       monkeypatch):

@@ -1686,22 +1686,35 @@ def _side_bwd_kernel(g_in: FlatGeom, d: int, with_extra: bool = False,
         w2_rows = (t // 2 + 2) * wp2
         h1, w1 = g_in.h, g_in.w
 
-    def kernel(gf_hbm, ks01_ref, ks2_ref, zref, *rest):
+    def kernel(gf_hbm, *rest):
+        # kw3: ONE stacked (3, 128, c_pad) weights ref, one G3 stack
+        # buffer, one (3, c_pad, 128) dk accumulator (no ks2/g2/dk2)
+        if _SIDE_KW3:
+            ks01_ref, zref = rest[0], rest[1]
+            ks2_ref = None
+            rest = rest[2:]
+        else:
+            ks01_ref, ks2_ref, zref = rest[0], rest[1], rest[2]
+            rest = rest[3:]
+        extra_ref = None
         if with_extra:
             # pre-merged second cotangent (the pool-backward's dz): the
             # stage-boundary dz_side + dz_pool add rides this kernel's
             # epilogue instead of a separate full-buffer XLA add
-            (extra_ref, dz_ref, dk01_ref, dk2_ref, db_ref,
-             xs0, xs1, g01, g2, acc, sem) = rest
+            extra_ref, rest = rest[0], rest[1:]
         elif pool_out is not None:
-            extra_ref = None
-            (zout_hbm, gout_hbm, dz_ref, dk01_ref, dk2_ref, db_ref,
-             xs0, xs1, g01, g2, acc, sem,
-             zs0, zs1, gs0, gs1, psem) = rest
+            zout_hbm, gout_hbm = rest[0], rest[1]
+            rest = rest[2:]
+        if _SIDE_KW3:
+            (dz_ref, dk01_ref, db_ref, xs0, xs1, g01, acc, sem) = rest[:8]
+            dk2_ref = g2 = None
+            rest = rest[8:]
         else:
-            extra_ref = None
             (dz_ref, dk01_ref, dk2_ref, db_ref,
-             xs0, xs1, g01, g2, acc, sem) = rest
+             xs0, xs1, g01, g2, acc, sem) = rest[:10]
+            rest = rest[10:]
+        if pool_out is not None:
+            zs0, zs1, gs0, gs1, psem = rest
         tt = pl.program_id(0)
         edge = (tt == 0) | (tt == last)
 
@@ -1722,7 +1735,8 @@ def _side_bwd_kernel(g_in: FlatGeom, d: int, with_extra: bool = False,
         @pl.when(tt == 0)
         def _():
             dk01_ref[...] = jnp.zeros_like(dk01_ref)
-            dk2_ref[...] = jnp.zeros_like(dk2_ref)
+            if dk2_ref is not None:
+                dk2_ref[...] = jnp.zeros_like(dk2_ref)
             db_ref[...] = jnp.zeros_like(db_ref)
 
         @pl.when(edge)
@@ -1730,6 +1744,51 @@ def _side_bwd_kernel(g_in: FlatGeom, d: int, with_extra: bool = False,
             dz_ref[...] = jnp.zeros_like(dz_ref)
 
         def body(xs, slot=0):
+            if _SIDE_KW3:
+                # kw-only stack over the EXTENDED row range [0,
+                # (t+2)*wp): G3[g, ls*kw + dd] = gfwin[g + 16 + kw - 1];
+                # the kh offsets become plain row-offset dot reads below
+                # (3 accumulating dgrad dots + 3 wgrad rows-contractions
+                # instead of 2+2, for a 3x-smaller VPU stack build)
+                n3 = -(-((t + 2) * wp) // 2)
+                ch = _round_up(-(-n3 // 8), 8)
+                for a in range(0, n3, ch):
+                    b = min(a + ch, n3)
+                    acc01 = None
+                    w = pltpu.bitcast(
+                        xs[pl.ds(2 * a, 2 * (b - a) + 18), :], jnp.uint32)
+                    for kw in range(3):
+                        if kw == 2:
+                            v = (w[8:8 + (b - a)] >> 16
+                                 ) | (w[9:9 + (b - a)] << 16)
+                        elif kw == 0:
+                            v = (w[7:7 + (b - a)] >> 16
+                                 ) | (w[8:8 + (b - a)] << 16)
+                        else:
+                            v = w[8:8 + (b - a)]
+                        if kw:
+                            v = pltpu.roll(v, kw * ls, axis=1)
+                        acc01 = v if acc01 is None else acc01 | v
+                    g01[pl.ds(2 * a, 2 * (b - a)), :] = pltpu.bitcast(
+                        acc01, jnp.bfloat16)
+
+                for kh in range(3):
+                    sl = pl.ds(kh * wp, k_rows)
+                    dd = jax.lax.dot_general(
+                        g01[sl, :], ks01_ref[kh], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    if kh == 0:
+                        acc[...] = dd
+                    else:
+                        acc[...] += dd
+                    dk01_ref[kh] += jax.lax.dot_general(
+                        zref[...], g01[sl, :], (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                db_ref[0:1, :] += jnp.sum(
+                    xs[pl.ds(_LEAD_ROWS + wp, k_rows), :].astype(
+                        jnp.float32), axis=0, keepdims=True)
+                return _epilogue(xs, slot)
+
             # build the stacked operands chunkwise over the tile's own
             # k_rows: G row (16 + j) at stack slot ``tap`` holds
             # gf[j + (kh-1)*wp + (kw-1)] — the SAME +off reads as the fwd
@@ -1788,6 +1847,9 @@ def _side_bwd_kernel(g_in: FlatGeom, d: int, with_extra: bool = False,
             db_ref[0:1, :] += jnp.sum(
                 xs[pl.ds(_LEAD_ROWS + wp, k_rows), :].astype(jnp.float32),
                 axis=0, keepdims=True)
+            return _epilogue(xs, slot)
+
+        def _epilogue(xs, slot):
 
             zmask = zref[...].astype(jnp.float32) > 0.0
             dz = jnp.where(zmask, acc[...], 0.0)
@@ -1883,21 +1945,33 @@ def _flat_side_bwd_impl(zf, gf, kernel, g_in: FlatGeom, interpret: bool,
     k9 = jnp.pad(kernel.astype(jnp.bfloat16)[::-1, ::-1].transpose(
         0, 1, 3, 2).reshape(9, d, c),
         ((0, 0), (0, d_ls - d), (0, c_pad - c)))
-    ks01 = jnp.pad(k9[:8].reshape(8 * d_ls, c_pad),
-                   ((0, 128 - 8 * d_ls), (0, 0)))
-    ks2 = jnp.pad(k9[8], ((0, 128 - d_ls), (0, 0)))
-
     xs_rows = _LEAD_ROWS + (g_in.t + 2) * g_in.wp + 32
-    in_specs = [
-        pl.BlockSpec(memory_space=pl.ANY),  # gf stays in HBM
-        pl.BlockSpec((128, c_pad), lambda tt: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((128, c_pad), lambda tt: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((g_in.block_rows, c_pad), lambda tt: (tt, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    operands = [gf, ks01, ks2, zf]
+    if _SIDE_KW3:
+        # ONE (3, 128, c_pad) stack: ks3[kh][ls*kw + dd, cc]
+        ks3 = jnp.pad(k9.reshape(3, 3 * d_ls, c_pad),
+                      ((0, 0), (0, 128 - 3 * d_ls), (0, 0)))
+        in_specs = [
+            pl.BlockSpec(memory_space=pl.ANY),  # gf stays in HBM
+            pl.BlockSpec((3, 128, c_pad), lambda tt: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_in.block_rows, c_pad), lambda tt: (tt, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [gf, ks3, zf]
+    else:
+        ks01 = jnp.pad(k9[:8].reshape(8 * d_ls, c_pad),
+                       ((0, 128 - 8 * d_ls), (0, 0)))
+        ks2 = jnp.pad(k9[8], ((0, 128 - d_ls), (0, 0)))
+        in_specs = [
+            pl.BlockSpec(memory_space=pl.ANY),  # gf stays in HBM
+            pl.BlockSpec((128, c_pad), lambda tt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, c_pad), lambda tt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_in.block_rows, c_pad), lambda tt: (tt, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [gf, ks01, ks2, zf]
     if extra is not None:
         in_specs.append(pl.BlockSpec((g_in.block_rows, c_pad),
                                      lambda tt: (tt, 0),
@@ -1907,7 +1981,19 @@ def _flat_side_bwd_impl(zf, gf, kernel, g_in: FlatGeom, interpret: bool,
         in_specs += [pl.BlockSpec(memory_space=pl.ANY),   # pooled values
                      pl.BlockSpec(memory_space=pl.ANY)]   # pooled cotangent
         operands += [zout, gout]
-    dz, dk01, dk2, db = pl.pallas_call(
+    if _SIDE_KW3:
+        dk_shapes = (jax.ShapeDtypeStruct((3, c_pad, 128), jnp.float32),)
+        dk_specs = (pl.BlockSpec((3, c_pad, 128), lambda tt: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),)
+        g_bufs = [pltpu.VMEM((xs_rows, 128), jnp.bfloat16)]
+    else:
+        dk_shapes = (jax.ShapeDtypeStruct((c_pad, 128), jnp.float32),
+                     jax.ShapeDtypeStruct((c_pad, 128), jnp.float32))
+        dk_specs = (pl.BlockSpec((c_pad, 128), lambda tt: (0, 0),
+                                 memory_space=pltpu.VMEM),) * 2
+        g_bufs = [pltpu.VMEM((xs_rows, 128), jnp.bfloat16),
+                  pltpu.VMEM((xs_rows, 128), jnp.bfloat16)]
+    dz, *dks, db = pl.pallas_call(
         _side_bwd_kernel(g_in, d, with_extra=extra is not None,
                          src_haloed=src_haloed, pool_out=pool_g),
         name=(f"side_bwd_c{g_in.c}_h{g_in.h}w{g_in.w}"
@@ -1915,8 +2001,7 @@ def _flat_side_bwd_impl(zf, gf, kernel, g_in: FlatGeom, interpret: bool,
               + ("_pool" if pool_g is not None else "")),
         out_shape=(
             jax.ShapeDtypeStruct((g_in.rows, c_pad), jnp.bfloat16),
-            jax.ShapeDtypeStruct((c_pad, 128), jnp.float32),
-            jax.ShapeDtypeStruct((c_pad, 128), jnp.float32),
+        ) + dk_shapes + (
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
         ),
         grid=(g_in.total_tiles,),
@@ -1924,18 +2009,14 @@ def _flat_side_bwd_impl(zf, gf, kernel, g_in: FlatGeom, interpret: bool,
         out_specs=(
             pl.BlockSpec((g_in.block_rows, c_pad), lambda tt: (tt, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_pad, 128), lambda tt: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_pad, 128), lambda tt: (0, 0),
-                         memory_space=pltpu.VMEM),
+        ) + dk_specs + (
             pl.BlockSpec((8, 128), lambda tt: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((xs_rows, 128), jnp.bfloat16),
             pltpu.VMEM((xs_rows, 128), jnp.bfloat16),
-            pltpu.VMEM((xs_rows, 128), jnp.bfloat16),
-            pltpu.VMEM((xs_rows, 128), jnp.bfloat16),
+        ] + g_bufs + [
             pltpu.VMEM((g_in.block_rows, c_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ] + ([
@@ -1950,8 +2031,14 @@ def _flat_side_bwd_impl(zf, gf, kernel, g_in: FlatGeom, interpret: bool,
         interpret=interpret,
     )(*operands)
     # G slot tap accumulated sum_s z[s] (x) gf[s + off_tap] = dK[8 - tap]
-    dk8 = dk01[:c, :8 * d_ls].reshape(c, 8, d_ls)[:, :, :d]
-    dk9 = jnp.concatenate([dk8, dk2[:c, None, :d]], axis=1)
+    if _SIDE_KW3:
+        (dk3,) = dks
+        dk9 = dk3[:, :c, :3 * d_ls].reshape(3, c, 3, d_ls)[
+            :, :, :, :d].transpose(1, 0, 2, 3).reshape(c, 9, d)
+    else:
+        dk01, dk2 = dks
+        dk8 = dk01[:c, :8 * d_ls].reshape(c, 8, d_ls)[:, :, :d]
+        dk9 = jnp.concatenate([dk8, dk2[:c, None, :d]], axis=1)
     dk = dk9[:, ::-1, :].transpose(1, 0, 2).reshape(3, 3, c, d)
     db = db[0, :d]
     return dz, dk, db
@@ -1973,6 +2060,18 @@ def _side_lane_stride(d: int) -> int:
     rolls by non-multiples of 8 lower to much slower multi-step shuffles
     (chip A/B at d=2: ~+1.5 ms/step with d-stride rolls 126/124/...)."""
     return d if d >= 8 else 8
+
+
+# kw-only tap stacking for the side kernels: the round-5 SoL table put
+# the 9-tap stacked kernels at 14-45% of SoL — the 9-term VPU
+# collapse/stack loop dominates their 2-row-stream dots (ablating it:
+# -2.2 ms/step). Splitting the taps puts kh back IN THE DOT as three
+# accumulating row-offset reads (exactly the main conv kernels' `phase`
+# structure, which runs at 85-96%) and leaves only the three kw taps
+# (row offsets +-1, lane blocks [ls*kw, ls*kw+d)) for the VPU: ~3x less
+# VPU for 1.5x more dot streams on a tiny base. Gated for step A/Bs;
+# both settings exactness-tested.
+_SIDE_KW3 = _os.environ.get("OSVOS_SIDE_KW3", "1") != "0"
 
 
 def _side_fwd_kernel(g_in: FlatGeom, d: int, pool=None):
@@ -2007,9 +2106,17 @@ def _side_fwd_kernel(g_in: FlatGeom, d: int, pool=None):
         assert t % 2 == 0 and p_len >= g2.w, (t, p_len, g2)
 
     def kernel(*refs):
-        if pool is not None:
+        # kw3: ONE stacked (3, c_pad, 128) weights ref, no o2 scratch
+        if pool is not None and _SIDE_KW3:
+            (xf_hbm, ks01_ref, out_ref, pooled_hbm,
+             xs0, xs1, o01, sem, pb0, pb1, zbuf, psem, zsem) = refs
+            ks2_ref = o2 = None
+        elif pool is not None:
             (xf_hbm, ks01_ref, ks2_ref, out_ref, pooled_hbm,
              xs0, xs1, o01, o2, sem, pb0, pb1, zbuf, psem, zsem) = refs
+        elif _SIDE_KW3:
+            (xf_hbm, ks01_ref, out_ref, xs0, xs1, o01, sem) = refs
+            ks2_ref = o2 = None
         else:
             (xf_hbm, ks01_ref, ks2_ref, out_ref,
              xs0, xs1, o01, o2, sem) = refs
@@ -2126,6 +2233,68 @@ def _side_fwd_kernel(g_in: FlatGeom, d: int, pool=None):
                     zero_dmas(base, gap * wp2)
 
         def body(xs, slot=0):
+            j = (tt - 1) % jt
+            if _SIDE_KW3:
+                # kh rides the DOT as three accumulating row-offset
+                # reads (the main conv kernels' `phase` form); only the
+                # three kw taps (rows +-1, lane blocks ls*kw) are left
+                # for the VPU collapse, with the validity mask folded
+                # into its store (no separate full-buffer mask pass)
+                o3_rows = xs_rows - 2 * wp
+                acc3 = jax.lax.dot_general(
+                    xs[pl.ds(0, o3_rows), :], ks01_ref[0],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                for kh in (1, 2):
+                    acc3 += jax.lax.dot_general(
+                        xs[pl.ds(kh * wp, o3_rows), :], ks01_ref[kh],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                o01[pl.ds(0, o3_rows), :] = acc3.astype(jnp.bfloat16)
+
+                n_sh = k_rows // 2
+                ch = _round_up(-(-n_sh // 8), 8)
+                if "collapse" in _SIDE_ABLATE:  # timing-only: raw dot
+                    out_ref[...] = o01[pl.ds(pre, k_rows), :]
+                    n_sh = 0
+                for a in range(0, n_sh, ch):
+                    b = min(a + ch, n_sh)
+                    base = 2 * a + pre
+                    w = pltpu.bitcast(
+                        o01[pl.ds(base, 2 * (b - a) + 18), :], jnp.uint32)
+                    acc = None
+                    for kw in range(3):
+                        if kw == 2:
+                            v = (w[8:8 + (b - a)] >> 16
+                                 ) | (w[9:9 + (b - a)] << 16)
+                        elif kw == 0:
+                            v = (w[7:7 + (b - a)] >> 16
+                                 ) | (w[8:8 + (b - a)] << 16)
+                        else:
+                            v = w[8:8 + (b - a)]
+                        if kw:
+                            v = pltpu.roll(v, (128 - kw * ls) % 128,
+                                           axis=1)
+                        vf = pltpu.bitcast(v, jnp.bfloat16).astype(
+                            jnp.float32)
+                        acc = vf if acc is None else acc + vf
+                    if "mask" not in _SIDE_ABLATE:
+                        it = jax.lax.broadcasted_iota(
+                            jnp.int32, (2 * (b - a), 1), 0) + 2 * a
+                        lane = jax.lax.broadcasted_iota(
+                            jnp.int32, (2 * (b - a), 128), 1)
+                        h_p = j * t + it // wp
+                        w_p = it % wp
+                        valid = ((h_p >= 2) & (h_p <= h_ok + 1)
+                                 & (w_p >= 2) & (w_p <= w_ok + 1)
+                                 & (lane < d))
+                        acc = jnp.where(valid, acc, 0.0)
+                    out_ref[pl.ds(2 * a, 2 * (b - a)), :] = acc.astype(
+                        jnp.bfloat16)
+                if pool is not None and "pool" not in _SIDE_ABLATE:
+                    _pool_epilogue(xs, j)
+                return
+
             o01[...] = jax.lax.dot_general(
                 xs[...], ks01_ref[...], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(jnp.bfloat16)
@@ -2172,7 +2341,6 @@ def _side_fwd_kernel(g_in: FlatGeom, d: int, pool=None):
                     jnp.bfloat16)
 
             # mask: pad rows/cols and the garbage lanes >= d stay zero
-            j = (tt - 1) % jt
             if "mask" not in _SIDE_ABLATE:
                 it = jax.lax.broadcasted_iota(jnp.int32, (k_rows, 1), 0)
                 lane = jax.lax.broadcasted_iota(jnp.int32, (k_rows, 128), 1)
@@ -2207,9 +2375,15 @@ def _flat_side_fwd_impl(zf, kernel, g_in: FlatGeom, interpret: bool,
     # of 8 (see _side_lane_stride)
     k9 = jnp.pad(kernel.astype(jnp.bfloat16).reshape(9, c, d).transpose(
         1, 0, 2), ((0, c_pad - c), (0, 0), (0, ls - d)))
-    ks01 = jnp.pad(k9[:, :8].reshape(c_pad, 8 * ls),
-                   ((0, 0), (0, 128 - 8 * ls)))
-    ks2 = jnp.pad(k9[:, 8], ((0, 0), (0, 128 - ls)))
+    if _SIDE_KW3:
+        # ONE (3, c_pad, 128) stack: ks3[kh][cc, ls*kw + dd]
+        ks3 = jnp.pad(
+            k9.reshape(c_pad, 3, 3 * ls).transpose(1, 0, 2),
+            ((0, 0), (0, 0), (0, 128 - 3 * ls)))
+    else:
+        ks01 = jnp.pad(k9[:, :8].reshape(c_pad, 8 * ls),
+                       ((0, 0), (0, 128 - 8 * ls)))
+        ks2 = jnp.pad(k9[:, 8], ((0, 0), (0, 128 - ls)))
 
     pre = g_in.wp if pool_out is not None else 0
     xs_rows = _LEAD_ROWS + (g_in.t + 2) * g_in.wp + 32 + pre
@@ -2221,7 +2395,8 @@ def _flat_side_fwd_impl(zf, kernel, g_in: FlatGeom, interpret: bool,
         pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16),
         pltpu.VMEM((xs_rows, c_pad), jnp.bfloat16),
         pltpu.VMEM((xs_rows, 128), jnp.bfloat16),
-        pltpu.VMEM((xs_rows, 128), jnp.bfloat16),
+    ] + ([] if _SIDE_KW3 else [pltpu.VMEM((xs_rows, 128), jnp.bfloat16)]
+         ) + [
         pltpu.SemaphoreType.DMA((2,)),
     ]
     kernel_pool = None
@@ -2240,25 +2415,29 @@ def _flat_side_fwd_impl(zf, kernel, g_in: FlatGeom, interpret: bool,
             pltpu.SemaphoreType.DMA((2,)),               # psem
             pltpu.SemaphoreType.DMA((4,)),               # zsem
         ]
+    if _SIDE_KW3:
+        w_specs = [pl.BlockSpec((3, c_pad, 128), lambda tt: (0, 0, 0),
+                                memory_space=pltpu.VMEM)]
+        w_ops = (ks3,)
+    else:
+        w_specs = [pl.BlockSpec((c_pad, 128), lambda tt: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((c_pad, 128), lambda tt: (0, 0),
+                                memory_space=pltpu.VMEM)]
+        w_ops = (ks01, ks2)
     out = pl.pallas_call(
         _side_fwd_kernel(g_in, d, kernel_pool),
         name=(f"side_fwd_c{g_in.c}_h{g_in.h}w{g_in.w}"
               + ("_pool" if pool_out is not None else "")),
         out_shape=out_shape,
         grid=(g_in.total_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # zf stays in HBM
-            pl.BlockSpec((c_pad, 128), lambda tt: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_pad, 128), lambda tt: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + w_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
-    )(zf, ks01, ks2)
+    )(zf, *w_ops)
     return out
 
 

@@ -100,10 +100,11 @@ def kernel_inventory(n: int, h: int, w: int, stages, side_ch: int = 16):
         else:
             sname = f"side_bwd_c{c}_h{hh}w{ww}"
             fname = f"side_fwd_c{c}_h{hh}w{ww}"
-        out.append((fname, 2 * rows * kt, f"s{i + 1} side fwd"))
-        # bwd: 2 dgrad dots (stack x K) + 2 wgrad rows-contractions
-        out.append((sname, 2 * rows * kt + 2 * rows * kt,
-                    f"s{i + 1} side bwd"))
+        from osvos_tpu.ops.pallas.flatconv import _SIDE_KW3
+        sf_n, sb_n = (3, 6) if _SIDE_KW3 else (2, 4)
+        out.append((fname, sf_n * rows * kt, f"s{i + 1} side fwd"))
+        # bwd: dgrad dots (stack x K) + wgrad rows-contractions
+        out.append((sname, sb_n * rows * kt, f"s{i + 1} side bwd"))
     return out
 
 

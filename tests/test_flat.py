@@ -723,17 +723,23 @@ def test_flat_conv_postrelu_mode_matches_twin(rng, geom_tuple):
                                    atol=3e-2 * scale)
 
 
+@pytest.mark.parametrize("kw3", [True, False])
 @pytest.mark.parametrize("geom_tuple", [
     (2, 6, 10, 8, 8, 4),      # generic small
     (1, 9, 27, 16, 8, 8),     # odd w, wider-than-one-tile wp
     (1, 4, 6, 130, 4, 4),     # c > 128: multi-lane-tile contraction
     (2, 6, 10, 8, 2, 4),      # d=2: the folded side+head conv width
 ])
-def test_side_conv_tap_stacked_matches_twin(rng, geom_tuple):
+def test_side_conv_tap_stacked_matches_twin(rng, geom_tuple, kw3,
+                                            monkeypatch):
     """flat_side_conv3x3 (tap-stacked fwd + bwd kernels) vs the XLA twin:
     values and all gradients, including the consumer-side relu mask on
-    dz (the input buffer is post-relu)."""
+    dz (the input buffer is post-relu). Parametrized over the kw3 mode
+    (kh in the dot as row-offset reads, only the kw taps on the VPU)."""
+    from osvos_tpu.ops.pallas import flatconv as fc
     from osvos_tpu.ops.pallas.flatconv import flat_side_conv3x3
+
+    monkeypatch.setattr(fc, "_SIDE_KW3", kw3)
 
     n, h, w, c, d, t = geom_tuple
     g = FlatGeom(n=n, h=h, w=w, c=c, t=t)
@@ -775,6 +781,7 @@ def test_side_conv_tap_stacked_matches_twin(rng, geom_tuple):
                                atol=3e-2 * scale_k)
 
 
+@pytest.mark.parametrize("kw3", [True, False])
 @pytest.mark.parametrize("fuse_fwd", [True, False])
 @pytest.mark.parametrize("geom_tuple", [
     (2, 10, 14, 8, 8, 4, 4),   # generic small
@@ -783,17 +790,19 @@ def test_side_conv_tap_stacked_matches_twin(rng, geom_tuple):
     (1, 12, 14, 8, 8, 4, 8),   # pooled t > t/2 coverage: gap rows zeroed
     (2, 10, 14, 8, 2, 4, 4),   # d=2: the folded side+head conv width
 ])
-def test_side_and_pool_equals_unfused(rng, geom_tuple, fuse_fwd,
+def test_side_and_pool_equals_unfused(rng, geom_tuple, fuse_fwd, kw3,
                                       monkeypatch):
     """The fused (side_temp, pooled) composite must equal the separate
     flat_side_conv3x3 + pool_flat_p pair, values AND gradients (the
     backward fuses the stage-boundary dz merge; with fuse_fwd the pool
     forward rides the side kernel's epilogue too)."""
+    from osvos_tpu.ops.pallas import flatconv as fc
     from osvos_tpu.ops.pallas.flatconv import flat_side_conv3x3
     from osvos_tpu.ops.pallas import flatpool as fp
     from osvos_tpu.ops.pallas.flatpool import pool_flat_p, side_and_pool
 
     monkeypatch.setattr(fp, "_FUSE_POOL_FWD", fuse_fwd)
+    monkeypatch.setattr(fc, "_SIDE_KW3", kw3)
     n, h, w, c, d, t, t2 = geom_tuple
     g = FlatGeom(n=n, h=h, w=w, c=c, t=t)
     g2 = FlatGeom(n=n, h=-(-h // 2), w=-(-w // 2), c=c, t=t2)

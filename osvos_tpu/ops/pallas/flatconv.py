@@ -251,6 +251,14 @@ _WGRAD_WIDE_MAX = int(_os.environ.get("OSVOS_WGRAD_WIDE_MAX", "8192"))
 # replaces NINE per-dot operand transposes, so the threshold is A/B'd
 # end-to-end; override for experiments)
 _WGRAD_XPOSE_MIN = int(_os.environ.get("OSVOS_WGRAD_XPOSE_MIN", "512"))
+# Split the non-transposed wgrad rows-contraction into per-128-lane-tile
+# dots (the dk output's c rows, 128 at a time; the contraction and the
+# cotangent operand are unchanged, so numerics are bit-identical). The
+# in-kernel ablation (BASELINE r5) shows c_pad=256 wgrad dots at ~49% of
+# SoL while the single-lane-tile c128 form runs at ~95%; each split dot
+# is exactly that efficient shape class. Chip A/B: 41.95 vs 42.04
+# ms/step (min-of-3, identical loss) — a small real win, default on.
+_WGRAD_SPLIT = _os.environ.get("OSVOS_WGRAD_SPLIT", "1") != "0"
 # TIMING-ONLY ablation for the fused backward (wrong numerics; see
 # scripts/bench_bwd_ablate.py): one of "", "nodgrad", "nowgrad",
 # "noshift", "nodb", "noepi". Because these branches silently corrupt
@@ -1105,8 +1113,9 @@ def _flat_conv_wgrad_impl(zf: jnp.ndarray, gf: jnp.ndarray, g_in: FlatGeom,
 
 def _bwd_fused_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0,
                       xpose: bool = False, pool_in=None,
-                      wide: bool = False):
+                      wide: bool = False, split: bool = False):
     assert not (wide and (merged or pool_in is not None))
+    assert not (split and xpose)
     wp, t = g_in.wp, g_in.t
     k_rows = g_in.block_rows
     # pool_in: the cotangent source is the fused conv+pool output — the
@@ -1265,6 +1274,15 @@ def _bwd_fused_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0,
                                 src[pl.ds(lead + kh * wp, k_rows), :],
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32))
+                    elif split:
+                        for ci in range(g_in.c_pad // 128):
+                            dk_ref[(2 - kh) * stride + widx,
+                                   pl.ds(ci * 128, 128), :] += (
+                                jax.lax.dot_general(
+                                    zref[:, pl.ds(ci * 128, 128)],
+                                    src[pl.ds(lead + kh * wp, k_rows), :],
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32))
                     else:
                         dk_ref[(2 - kh) * stride + widx] += (
                             jax.lax.dot_general(
@@ -1388,6 +1406,10 @@ def _flat_conv_bwd_fused_impl(zf: jnp.ndarray, gf: jnp.ndarray,
     xpose = _WGRAD_XPOSE and c_pad >= _WGRAD_XPOSE_MIN
     wide = (_WGRAD_WIDE and not merged and pool_in is None
             and _WGRAD_WIDE_MIN <= c_pad <= _WGRAD_WIDE_MAX)
+    # per-128-lane-tile wgrad dots (bit-identical numerics; targets the
+    # c_pad=256 stages where the single wide rows-contraction measures
+    # ~49% of SoL — see _WGRAD_SPLIT)
+    split = _WGRAD_SPLIT and not xpose and not wide and c_pad > 128
     scratch = [
         pltpu.VMEM((xs_rows, d_pad), jnp.bfloat16),
         pltpu.VMEM((xs_rows, d_pad), jnp.bfloat16),
@@ -1439,10 +1461,10 @@ def _flat_conv_bwd_fused_impl(zf: jnp.ndarray, gf: jnp.ndarray,
                 else (n_taps, c_pad, d_pad))
     dz, dk, db = pl.pallas_call(
         _bwd_fused_kernel(g_in, relu_input, merged, xpose, kernel_pool,
-                          wide),
+                          wide, split),
         name=(f"fconv_bwd_c{c}d{d}_h{g_in.h}w{g_in.w}"
               + ("_mrg" if merged else "") + ("_xp" if xpose else "")
-              + ("_w" if wide else "")
+              + ("_w" if wide else "") + ("_sp" if split else "")
               + ("_pool" if pool_in is not None else "")),
         out_shape=(
             jax.ShapeDtypeStruct((g_in.rows, c_pad), jnp.bfloat16),

@@ -12,6 +12,10 @@ This bench isolates the orientation question on kernel-realistic shapes:
   xpose9  transpose z ONCE in-kernel, then 9 canonical (1,0) dots
   pre9    9 canonical dots from a PRE-transposed zT operand (the upper
           bound if the transpose were free)
+  split9  9 taps x per-128-lane-tile rows-contractions: each dot's
+          transposed operand is ONE lane tile (k_rows, 128) — the shape
+          class the c128 stages run at ~95% — so a c256 wgrad becomes
+          2 narrow dots per tap instead of 1 wide one (same tile-MACs)
   rows3w  3 rows-contraction dots (one per kh row offset) against a
           lane-stacked WIDE operand (k_rows, 3*d) — the [xs|ym1|ym2]
           restructure: in the real kernel the shifted-tap copies
@@ -80,6 +84,16 @@ def main() -> None:
                         z_ref[pl.ds(16 * t, k_rows), :], g_ref[...],
                         (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
+            elif variant == "split9":
+                for t in range(9):
+                    for ci in range(c // 128):
+                        dk_ref[t, pl.ds(ci * 128, 128), :] += (
+                            jax.lax.dot_general(
+                                z_ref[pl.ds(16 * t, k_rows),
+                                      pl.ds(ci * 128, 128)],
+                                g_ref[...],
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32))
             elif wide:
                 gw = scr[0]
                 for kw in range(wide):

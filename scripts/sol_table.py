@@ -82,7 +82,16 @@ def kernel_inventory(n: int, h: int, w: int, stages, side_ch: int = 16):
             gi = FlatGeom(n=n, h=hh, w=ww, c=c, t=stage_t(hh))
             conv(f"fconv_fwd_c{c}d{width}_h{hh}w{ww}", gi, cp, dp, 9,
                  what=f"s{i + 1}c{j} fwd")
-            xp = "_xp" if cp >= 512 else ""
+            # suffix mirrors flatconv's gate logic: _xp at c_pad >= 512
+            # (_WGRAD_XPOSE_MIN), else _sp when the per-lane-tile split
+            # wgrad applies (_WGRAD_SPLIT default, c_pad > 128)
+            from osvos_tpu.ops.pallas import flatconv as _fc
+            if _fc._WGRAD_XPOSE and cp >= _fc._WGRAD_XPOSE_MIN:
+                xp = "_xp"
+            elif _fc._WGRAD_SPLIT and cp > 128:
+                xp = "_sp"
+            else:
+                xp = ""
             conv(f"fconv_bwd_c{c}d{width}_h{hh}w{ww}{xp}", gi, cp, dp, 18,
                  what=f"s{i + 1}c{j} fused bwd")
             c = width
@@ -141,8 +150,17 @@ def main():
     # Fusion-gate env vars toggle a _pool suffix on some kernels; resolve
     # each inventory name to whichever variant the trace actually holds.
     def resolve(name):
-        alt = name[:-5] if name.endswith("_pool") else name + "_pool"
-        return name if name in measured or alt not in measured else alt
+        cands = {name}
+        for nm in list(cands):  # toggle the _sp (split-wgrad) suffix
+            cands.add(nm[:-3] if nm.endswith("_sp") else nm + "_sp")
+        for nm in list(cands):  # toggle the _pool (fused-pool) suffix
+            cands.add(nm[:-5] if nm.endswith("_pool") else nm + "_pool")
+        if name in measured:
+            return name
+        for nm in sorted(cands - {name}):
+            if nm in measured:
+                return nm
+        return name
 
     inv = [(resolve(name), tm, what) for name, tm, what in inv]
     ncopies = collections.Counter(name for name, _, _ in inv)

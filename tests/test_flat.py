@@ -147,6 +147,33 @@ def test_fused_bwd_wide_matches_per_dot(rng, geom_tuple, xpose,
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("geom_tuple", [GEOMS[0], GEOMS[3], GEOMS[4]])
+def test_fused_bwd_split_matches_single_dot(rng, geom_tuple, monkeypatch):
+    """The per-128-lane-tile wgrad dots (_WGRAD_SPLIT) must equal the
+    single wide rows-contraction bit-for-bit: splitting the OUTPUT c dim
+    into lane tiles leaves the contraction and its order unchanged for
+    every dk element."""
+    import dataclasses
+
+    from osvos_tpu.ops.pallas import flatconv as fc
+
+    g, zf, k, b = _mk(rng, geom_tuple)
+    d = k.shape[-1]
+    gf = to_flat(jnp.asarray(rng.randn(g.n, g.h, g.w, d), jnp.float32),
+                 dataclasses.replace(g, c=d)).astype(jnp.bfloat16)
+
+    monkeypatch.setattr(fc, "_WGRAD_XPOSE", False)
+    outs = {}
+    for flag in (False, True):
+        monkeypatch.setattr(fc, "_WGRAD_SPLIT", flag)
+        outs[flag] = fc._flat_conv_bwd_fused_impl(zf, gf, k, g, d, True,
+                                                  True)
+    for a, b_ in zip(outs[False], outs[True]):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   rtol=0, atol=0)
+
+
 def test_flat_side_fl_matches_nhwc_variant(rng):
     """flat_side_conv3x3_fl (flat in/out, flat cotangent) must give the
     same forward values and the same (dz, dK) as the NHWC-returning

@@ -259,6 +259,14 @@ _WGRAD_XPOSE_MIN = int(_os.environ.get("OSVOS_WGRAD_XPOSE_MIN", "512"))
 # is exactly that efficient shape class. Chip A/B: 41.95 vs 42.04
 # ms/step (min-of-3, identical loss) — a small real win, default on.
 _WGRAD_SPLIT = _os.environ.get("OSVOS_WGRAD_SPLIT", "1") != "0"
+# Group the fused backward's dots by KIND — all 9 dgrad dots, then all 9
+# wgrad rows-contractions — instead of interleaving 3+3 per tap group.
+# Probes whether alternating the MXU between the standard and the
+# rows-contraction orientation is what holds the multi-lane-tile fused
+# backwards at 60-75% of SoL. Each dk tap is still written exactly once
+# per tile and the dgrad accumulation order is unchanged, so numerics
+# are bit-identical to the interleaved order.
+_BWD_GROUPED = _os.environ.get("OSVOS_BWD_GROUPED", "0") != "0"
 # TIMING-ONLY ablation for the fused backward (wrong numerics; see
 # scripts/bench_bwd_ablate.py): one of "", "nodgrad", "nowgrad",
 # "noshift", "nodb", "noepi". Because these branches silently corrupt
@@ -717,6 +725,13 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
             # rows for i == 0 -> the carry scratch). Post-relu values and
             # exact-zero pads make ceil-mode free: max(x, 0) == x.
             def pool_into(pb):
+                # validity folds into each block's store (the whole-block
+                # row test is a traced scalar, the col/lane test a static
+                # (wp, 128) mask) — the former full-buffer masking pass
+                # was a read+write of pb per tile
+                u = jax.lax.broadcasted_iota(jnp.int32, (wp, 1), 0)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (wp, 128), 1)
+                col_ok = ((u >= 2) & (u <= g2.w + 1) & (lane < p_co))
                 for i in range(t // 2):
                     if i == 0:
                         va = carry[pl.ds(0, wp), :]
@@ -726,14 +741,10 @@ def _fwd_kernel(g_in: FlatGeom, h_out_valid: int, w_out_valid: int,
                         vb = res[(2 * i - 1) * wp:(2 * i) * wp, :]
                     v = jnp.maximum(va, vb)
                     m = jnp.maximum(v, _kernel_lane_shift(v, -p_half))
-                    pb[pl.ds(i * wp, wp), :] = m
-                it2 = jax.lax.broadcasted_iota(jnp.int32, (t2w, 1), 0)
-                lane = jax.lax.broadcasted_iota(jnp.int32, (t2w, 128), 1)
-                p = j * (t // 2) + it2 // wp
-                u = it2 % wp
-                ok = ((p >= 2) & (p <= g2.h + 1) & (u >= 2)
-                      & (u <= g2.w + 1) & (lane < p_co))
-                pb[...] = jnp.where(ok, pb[...], jnp.bfloat16(0))
+                    p_i = j * (t // 2) + i
+                    ok = col_ok & (p_i >= 2) & (p_i <= g2.h + 1)
+                    pb[pl.ds(i * wp, wp), :] = jnp.where(
+                        ok, m, jnp.bfloat16(0))
 
                 # DMA must read pb AFTER the stores above (same hazard as
                 # the zbuf copies). Full-buffer reduction, not a 16-row
@@ -1249,8 +1260,11 @@ def _bwd_fused_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0,
                 # instead of paying Mosaic's per-dot operand transpose
                 zt[...] = zref[...].T
 
-            def phase(src, kidx, widx, first, stride=3):
+            def phase(src, kidx, widx, first, stride=3,
+                      do_dgrad=True, do_wgrad=True):
                 for kh in range(3):
+                    if not do_dgrad:
+                        break
                     if _BWD_ABLATE == "nodgrad":
                         if first and kh == 0:
                             acc[...] = jnp.zeros_like(acc)
@@ -1264,7 +1278,7 @@ def _bwd_fused_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0,
                         acc[...] = d
                     else:
                         acc[...] += d
-                if _BWD_ABLATE == "nowgrad":
+                if _BWD_ABLATE == "nowgrad" or not do_wgrad:
                     return
                 for kh in range(3):
                     if xpose:
@@ -1343,9 +1357,17 @@ def _bwd_fused_kernel(g_in: FlatGeom, relu_input: bool, merged: int = 0,
                 if _BWD_ABLATE != "noshift":
                     _copy_shifted(ym1, xs, tap_rows, 1)
                     _copy_shifted(ym2, xs, tap_rows, -1)
-                phase(xs, 1, 1, True)
-                phase(ym1, 2, 0, False)
-                phase(ym2, 0, 2, False)
+                if _BWD_GROUPED:
+                    phase(xs, 1, 1, True, do_wgrad=False)
+                    phase(ym1, 2, 0, False, do_wgrad=False)
+                    phase(ym2, 0, 2, False, do_wgrad=False)
+                    phase(xs, 1, 1, False, do_dgrad=False)
+                    phase(ym1, 2, 0, False, do_dgrad=False)
+                    phase(ym2, 0, 2, False, do_dgrad=False)
+                else:
+                    phase(xs, 1, 1, True)
+                    phase(ym1, 2, 0, False)
+                    phase(ym2, 0, 2, False)
             if _BWD_ABLATE != "nodb":
                 db_ref[0:1, :] += jnp.sum(
                     xs[pl.ds(lead + wp, k_rows), :].astype(jnp.float32),
@@ -2205,18 +2227,23 @@ def _side_fwd_kernel(g_in: FlatGeom, d: int, pool=None):
             # col offset 2 (an f32-native sublane shift; the bf16-odd
             # roll this avoids is the expensive one)
             def pool_into(pb):
+                # validity folds into each block's store (the whole-block
+                # row test is a traced scalar, the col test static); the
+                # margin rows every store skips ([0, 2) and [2 + p_len,
+                # wp2) of each block) were zeroed ONCE at this buffer's
+                # first tile and are never rewritten — the former
+                # full-buffer masking pass was a read+write of pb per tile
+                u_s = jax.lax.broadcasted_iota(jnp.int32, (p_len, 1), 0)
+                col_ok = (u_s + 2) <= g2.w + 1
                 for i in range(t // 2):
                     va = xs[pl.ds(_LEAD_ROWS + 2 * i * wp, wp), :]
                     vb = xs[pl.ds(_LEAD_ROWS + (2 * i + 1) * wp, wp), :]
                     mx = _pair_max_words(jnp.maximum(va, vb))
-                    pb[pl.ds(i * wp2 + 2, p_len), :] = (
-                        mx[1:1 + p_len].astype(jnp.bfloat16))
-                it2 = jax.lax.broadcasted_iota(jnp.int32, (t2w, 1), 0)
-                p = j * (t // 2) + it2 // wp2
-                u = it2 % wp2
-                ok = ((p >= 2) & (p <= g2.h + 1) & (u >= 2)
-                      & (u <= g2.w + 1))
-                pb[...] = jnp.where(ok, pb[...], jnp.bfloat16(0))
+                    p_i = j * (t // 2) + i
+                    ok = col_ok & (p_i >= 2) & (p_i <= g2.h + 1)
+                    pb[pl.ds(i * wp2 + 2, p_len), :] = jnp.where(
+                        ok, mx[1:1 + p_len],
+                        mx.dtype.type(0)).astype(jnp.bfloat16)
                 # DMA must read pb AFTER the stores above (full-buffer
                 # anchor; same hazard as zbuf)
                 anchor = jnp.sum(pb[...].astype(jnp.float32))
